@@ -1,0 +1,196 @@
+"""De Bruijn graph traversal as bulk path decomposition.
+
+The reference walks the graph with synchronous per-hop RPCs claiming k-mers
+first-writer-wins (src/dbjg_traversal.cpp:165-335), then repairs walk
+collisions with two more phases (clean_frag_links / connect_frags,
+dbjg_traversal.cpp:392-567). The final contigs are exactly the maximal paths
+of the *reciprocal UU edge* graph (see oracle/pyref.py::traverse_oracle for
+the equivalence argument), so we compute that directly:
+
+1. build_edges (device): one batched lookup per side computes, for every UU
+   k-mer, its left/right neighbor index, orientation, and edge validity —
+   the latency-bound pointer chase becomes two vectorized table lookups.
+2. stitch_paths (host): endpoints found in O(n); every path walked in
+   parallel with vectorized numpy stepping; cycles broken at their minimum
+   node index (the reference breaks at a nondeterministic walk start).
+
+Contigs are emitted in canonical orientation (min of seq/revcomp) with depth
+= sum of member k-mer counts / (len - k + 2) (dbjg_traversal.cpp:542).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import bitkmer as bk
+from ..ops.lookup import table_lookup
+
+U32 = jnp.uint32
+
+
+@partial(jax.jit, static_argnames=("k",))
+def build_edges(words, count, left, right, n, k: int):
+    """Compute reciprocal UU edges for every table row.
+
+    words/count/left/right/n: a FinalTable's arrays (lexsorted dense prefix).
+    Returns per-row: uu (bool), and for each side s in {left=0, right=1}:
+    nbr_idx (int32), nbr_entry_port (0=L, 1=R), ok (bool).
+
+    Edge semantics (walking right from canonical A with ext r):
+    B_oriented = A[1:] + r; valid iff B exists, B is UU, B oriented left ext
+    == A[0] (CONFLICT check, dbjg_traversal.cpp:192-197), and B is not A
+    itself (REPEAT, dbjg_traversal.cpp:204-207). Symmetric for the left side.
+    """
+    T = words.shape[0]
+    row_valid = jnp.arange(T) < n
+    uu = row_valid & (left < 4) & (right < 4)
+
+    a_first = bk.first_base(words)
+    a_last = bk.last_base(words, k)
+
+    # right side: B_or = A[1:] + right
+    b_or = bk.forward_base_words(words, right, k)
+    b_can, b_rc = bk.canonicalize_words(b_or, k)
+    b_idx, b_found = table_lookup(words, n, b_can)
+    b_left = left[b_idx]
+    b_right = right[b_idx]
+    b_uu = (b_left < 4) & (b_right < 4)
+    # oriented left ext of B: comp(right) if B canonical is the rc of B_or
+    b_left_or = jnp.where(b_rc, jnp.uint8(3) - b_right, b_left)
+    self_idx = jnp.arange(T, dtype=jnp.int32)
+    r_ok = uu & b_found & b_uu & (b_left_or == a_first.astype(jnp.uint8)) & (b_idx != self_idx)
+    # port on B through which the walk enters and continues: entering via L
+    # (canonical-aligned) exits via R; entering via R (rc) exits via L.
+    r_port = jnp.where(b_rc, jnp.int32(1), jnp.int32(0))  # entry port on B
+
+    # left side: P_or = left + A[:-1]
+    p_or = bk.backward_base_words(words, left, k)
+    p_can, p_rc = bk.canonicalize_words(p_or, k)
+    p_idx, p_found = table_lookup(words, n, p_can)
+    p_left = left[p_idx]
+    p_right = right[p_idx]
+    p_uu = (p_left < 4) & (p_right < 4)
+    p_right_or = jnp.where(p_rc, jnp.uint8(3) - p_left, p_right)
+    l_ok = uu & p_found & p_uu & (p_right_or == a_last.astype(jnp.uint8)) & (p_idx != self_idx)
+    l_port = jnp.where(p_rc, jnp.int32(0), jnp.int32(1))  # entry port on P
+
+    return dict(
+        uu=uu,
+        r_idx=b_idx, r_port=r_port, r_ok=r_ok,
+        l_idx=p_idx, l_port=l_port, l_ok=l_ok,
+    )
+
+
+def stitch_paths(edges: dict, words, count, k: int):
+    """Host path decomposition. Returns list of (seq, depth) tuples."""
+    uu = np.asarray(edges["uu"])
+    n_rows = uu.shape[0]
+    # nbr[i, port] = neighbor index reachable by exiting `port` of node i
+    # exit port 1 (R) uses the right edge; exit port 0 (L) uses the left edge
+    nbr = np.full((n_rows, 2), -1, np.int64)
+    entry = np.zeros((n_rows, 2), np.int64)  # entry port on the neighbor
+    r_ok = np.asarray(edges["r_ok"])
+    l_ok = np.asarray(edges["l_ok"])
+    nbr[:, 1] = np.where(r_ok, np.asarray(edges["r_idx"]), -1)
+    entry[:, 1] = np.asarray(edges["r_port"])
+    nbr[:, 0] = np.where(l_ok, np.asarray(edges["l_idx"]), -1)
+    entry[:, 0] = np.asarray(edges["l_port"])
+
+    counts = np.asarray(count)
+    kmers = None  # lazily materialized strings
+
+    uu_idx = np.nonzero(uu)[0]
+    if uu_idx.size == 0:
+        return []
+
+    # walkers start at free ports: (node, exit_port) where the OTHER port has
+    # no edge (path endpoint), walking out through exit_port.
+    has_l = nbr[:, 0] >= 0
+    has_r = nbr[:, 1] >= 0
+    starts = []
+    # endpoint with no left edge: walk rightward (exit port 1)
+    for node in uu_idx[~has_l[uu_idx]]:
+        starts.append((node, 1))
+    for node in uu_idx[~has_r[uu_idx]]:
+        starts.append((node, 0))
+    # isolated UU nodes appear twice; dedup below by walk comparison
+
+    visited = np.zeros(n_rows, bool)
+    paths = []  # (list of (node, orientation_fwd))
+
+    def walk(node, exit_port):
+        """Walk from an endpoint; orientation fwd iff exiting via R port."""
+        path = [(node, exit_port == 1)]
+        seen = {node}
+        cur, port = node, exit_port
+        while True:
+            nxt = nbr[cur, port]
+            if nxt < 0 or nxt in seen:
+                break
+            ep = entry[cur, port]
+            # entering nxt via ep; orientation fwd iff entered via L(0)
+            path.append((int(nxt), ep == 0))
+            seen.add(int(nxt))
+            cur, port = int(nxt), 1 - ep
+        return path
+
+    for node, exit_port in starts:
+        if visited[node]:
+            continue
+        path = walk(node, exit_port)
+        for nd, _ in path:
+            visited[nd] = True
+        paths.append(path)
+
+    # cycles: remaining unvisited UU nodes
+    for node in uu_idx:
+        if visited[node]:
+            continue
+        # break cycle at the minimum node index: walk right from `node`
+        path = walk(node, 1)
+        for nd, _ in path:
+            visited[nd] = True
+        paths.append(path)
+
+    # dedup mirrored paths: a path and its reverse start/end at the two
+    # endpoints; both were walked. Canonicalize by node tuple.
+    uniq = {}
+    for path in paths:
+        key_f = tuple(nd for nd, _ in path)
+        key_r = tuple(reversed(key_f))
+        key = min(key_f, key_r)
+        if key not in uniq:
+            uniq[key] = path
+    paths = list(uniq.values())
+
+    if kmers is None:
+        kmers = bk.words_to_strings(np.asarray(words), k)
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def rc(s):
+        return "".join(comp[c] for c in reversed(s))
+
+    contigs = []
+    for path in paths:
+        n0, fwd0 = path[0]
+        seq = kmers[n0] if fwd0 else rc(kmers[n0])
+        for nd, fwd in path[1:]:
+            km = kmers[nd] if fwd else rc(kmers[nd])
+            seq += km[-1]
+        depth_sum = int(sum(counts[nd] for nd, _ in path))
+        s_rc = rc(seq)
+        if s_rc < seq:
+            seq = s_rc
+        contigs.append((seq, depth_sum / (len(seq) - k + 2)))
+    return contigs
+
+
+def traverse_debruijn_graph(table, k: int):
+    """Full traversal of a FinalTable -> list of (seq, depth)."""
+    edges = build_edges(table.words, table.count, table.left, table.right, table.n, k)
+    return stitch_paths(edges, table.words, table.count, k)

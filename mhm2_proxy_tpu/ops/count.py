@@ -1,0 +1,212 @@
+"""Sort + segmented-reduce k-mer counting kernels.
+
+This replaces the reference's CAS/probing hash tables
+(src/kcount/kcount_cpu.cpp:205-294, src/kcount/kcount-gpu/gpu_hash_table.cpp)
+with a deterministic TPU-friendly formulation: flatten (kmer, left_ext,
+right_ext, count) records, lexsort by the packed key words, and segment-sum
+counts and per-base extension one-hots. Saturating uint16 accumulation of
+nonnegative increments equals clamping the exact sum, so we accumulate in
+int64 and clamp once at finalization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EXT_F, EXT_X, EXT_NONE, MAX_KMER_COUNT
+from .bitkmer import (
+    kmer_words_from_codes,
+    canonicalize_words,
+    minimizers_from_codes,
+    quick_hash_u64,
+)
+
+I64 = jnp.int64
+U32 = jnp.uint32
+
+
+@partial(jax.jit, static_argnames=("k", "m", "n_shards"))
+def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, depth=None):
+    """Extract count records from a block of sequences.
+
+    codes: (B, L) uint8 base codes (0-3, 4=N); qual_ok: (B, L) bool (phred >=
+    cutoff); lens: (B,) int32 true lengths; depth: optional (B,) int32 count
+    per sequence (contig pass; None = 1 per the read pass).
+
+    Only k-mers at positions [1, len-k-1] are counted, with left ext at i-1
+    and right ext at i+k (reference process_seq + get_kmers_and_exts,
+    kcount_cpu.cpp:84-101, 307-335). Extensions from low-quality or N bases
+    are EXT_NONE and never accumulate. Canonicalization swaps and complements
+    extensions (kcount_cpu.cpp:326-332).
+
+    Returns dict of flattened (B*P,)-shaped arrays: words (B*P, W), left,
+    right (uint8 ext codes), count (int32), valid (bool), target (int32 shard
+    ids from minimizer hash, kmer_dht.cpp:193-196).
+    """
+    B, L = codes.shape
+    P = L - k + 1
+    words = kmer_words_from_codes(codes, k)  # (B, P, W)
+    cwords, was_rc = canonicalize_words(words, k)
+
+    base_ok = qual_ok & (codes < 4)
+    ext_code = jnp.where(base_ok, codes, jnp.uint8(EXT_NONE))
+    # left ext of kmer i is base i-1; right ext is base i+k
+    left = jnp.concatenate([jnp.full((B, 1), EXT_NONE, jnp.uint8), ext_code[:, 0 : P - 1]], axis=1)
+    right = jnp.pad(ext_code, ((0, 0), (0, k + 1)), constant_values=EXT_NONE)[:, k : k + P]
+
+    comp = lambda e: jnp.where(e < 4, jnp.uint8(3) - e, e)
+    left_c = jnp.where(was_rc, comp(right), left)
+    right_c = jnp.where(was_rc, comp(left), right)
+
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = (pos >= 1) & (pos <= lens[:, None] - k - 1)
+
+    minz = minimizers_from_codes(codes, k, m)
+    target = (quick_hash_u64(minz) % jnp.uint64(n_shards)).astype(jnp.int32)
+
+    if depth is None:
+        count = jnp.ones((B, P), jnp.int32)
+    else:
+        count = jnp.broadcast_to(jnp.clip(depth, 0, MAX_KMER_COUNT)[:, None].astype(jnp.int32), (B, P))
+
+    flat = lambda x: x.reshape((B * P,) + x.shape[2:])
+    return dict(
+        words=flat(cwords),
+        left=flat(left_c),
+        right=flat(right_c),
+        count=flat(count),
+        valid=flat(valid),
+        target=flat(target),
+    )
+
+
+def _sentinelize(words, valid):
+    """Overwrite invalid rows with the all-ones empty-key sentinel.
+
+    Mirrors the reference's KEY_EMPTY convention (kcount_cpu.cpp:217,227).
+    Valid k-mers with k % 32 != 0 can never be all-ones (trailing bits are 0).
+    """
+    return jnp.where(valid[..., None], words, jnp.uint32(0xFFFFFFFF))
+
+
+def _lexsort_rows(words, *payload):
+    """Sort rows of (N, W) words lexicographically; returns permuted arrays."""
+    W = words.shape[-1]
+    keys = tuple(words[:, w] for w in range(W - 1, -1, -1))
+    order = jnp.lexsort(keys)
+    return tuple(x[order] for x in ((words,) + payload))
+
+
+def _dedup_sorted(words, count, l4, r4):
+    """Segment-reduce duplicate adjacent keys in lexsorted rows.
+
+    Returns same-shape arrays with unique rows compacted to the front
+    (sentinel rows group at the end), plus n_unique (excluding sentinels).
+    """
+    N, W = words.shape
+    neq = jnp.any(words[1:] != words[:-1], axis=-1)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    seg = jnp.cumsum(is_start) - 1  # (N,) segment ids, 0-based
+    u_count = jax.ops.segment_sum(count, seg, num_segments=N)
+    u_l4 = jax.ops.segment_sum(l4, seg, num_segments=N)
+    u_r4 = jax.ops.segment_sum(r4, seg, num_segments=N)
+    first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
+    n_groups = seg[-1] + 1
+    first_idx = jnp.where(jnp.arange(N) < n_groups, first_idx, 0)
+    u_words = words[first_idx]
+    u_words = jnp.where((jnp.arange(N) < n_groups)[:, None], u_words, jnp.uint32(0xFFFFFFFF))
+    is_sentinel = jnp.all(u_words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    n_unique = jnp.sum((jnp.arange(N) < n_groups) & ~is_sentinel).astype(jnp.int32)
+    return u_words, u_count, u_l4, u_r4, n_unique
+
+
+def _ext_onehot(ext, count):
+    """(N,) ext codes + counts -> (N, 4) one-hot counts; codes >= 4 ignored."""
+    oh = (ext[:, None] == jnp.arange(4, dtype=ext.dtype)[None, :]).astype(I64)
+    return oh * count[:, None].astype(I64)
+
+
+@jax.jit
+def aggregate_records(words, left, right, count, valid):
+    """Aggregate raw records into a deduped (sorted) partial table.
+
+    Returns (u_words, u_count i64, u_l4 (N,4) i64, u_r4, n_unique).
+    """
+    w = _sentinelize(words, valid)
+    cnt = jnp.where(valid, count, 0).astype(I64)
+    l4 = _ext_onehot(left, cnt)
+    r4 = _ext_onehot(right, cnt)
+    w, cnt, l4, r4 = _lexsort_rows(w, cnt, l4, r4)
+    return _dedup_sorted(w, cnt, l4, r4)
+
+
+@jax.jit
+def merge_aggregates(a_words, a_count, a_l4, a_r4, b_words, b_count, b_l4, b_r4):
+    """Merge two deduped partial tables (concat + sort + reduce)."""
+    words = jnp.concatenate([a_words, b_words])
+    cnt = jnp.concatenate([a_count, b_count])
+    l4 = jnp.concatenate([a_l4, b_l4])
+    r4 = jnp.concatenate([a_r4, b_r4])
+    w, cnt, l4, r4 = _lexsort_rows(words, cnt, l4, r4)
+    return _dedup_sorted(w, cnt, l4, r4)
+
+
+def _get_ext_calls(c4, count, dmin_thres):
+    """Vectorized extension call (reference kcount_cpu.cpp:173-182).
+
+    c4: (N, 4) int64 per-base counts (clamped to uint16 range by caller);
+    count: (N,) int64 clamped total. Ties break toward the greater base char
+    (T > G > C > A), encoded by key = count*4 + base_code.
+    """
+    key = c4 * 4 + jnp.arange(4, dtype=I64)[None, :]
+    top_key = jnp.max(key, axis=-1)
+    top_code = (top_key % 4).astype(jnp.uint8)
+    top_cnt = top_key // 4
+    runner_cnt = jnp.max(jnp.where(key == top_key[:, None], I64(-1), key), axis=-1) // 4
+    # dmin_dyn = max((int)((1.0-0.9)*count), dmin_thres) in double precision
+    dmin_dyn = jnp.maximum(
+        jnp.floor(jnp.float64(1.0 - 0.9) * count.astype(jnp.float64)).astype(I64),
+        I64(dmin_thres),
+    )
+    call = jnp.where(
+        top_cnt < dmin_dyn,
+        jnp.uint8(EXT_X),
+        jnp.where(runner_cnt >= dmin_dyn, jnp.uint8(EXT_F), top_code),
+    )
+    return call
+
+
+@partial(jax.jit, static_argnames=("dmin_thres",))
+def finalize_table(u_words, u_count, u_l4, u_r4, n_unique, dmin_thres: int = 2):
+    """Clamp counts, call extensions, purge, and compact the final table.
+
+    Purge rules (reference kcount_cpu.cpp:497-517): drop count < 2 and drop
+    left=='X' and right=='X'. Output rows are sorted by key with kept rows in
+    a dense prefix of length n_kept.
+
+    Returns (words, count u16->i32, left u8, right u8, n_kept).
+    """
+    N = u_words.shape[0]
+    count = jnp.minimum(u_count, I64(MAX_KMER_COUNT))
+    l4 = jnp.minimum(u_l4, I64(MAX_KMER_COUNT))
+    r4 = jnp.minimum(u_r4, I64(MAX_KMER_COUNT))
+    left = _get_ext_calls(l4, count, dmin_thres)
+    right = _get_ext_calls(r4, count, dmin_thres)
+    row_valid = jnp.arange(N) < n_unique
+    keep = row_valid & (count >= 2) & ~((left == EXT_X) & (right == EXT_X))
+    # compact: lexsort with drop flag as the primary key keeps kept-prefix sorted
+    w = _sentinelize(u_words, keep)
+    W = w.shape[-1]
+    keys = tuple(w[:, i] for i in range(W - 1, -1, -1))
+    order = jnp.lexsort(keys)
+    n_kept = jnp.sum(keep).astype(jnp.int32)
+    return (
+        w[order],
+        count[order].astype(jnp.int32),
+        left[order],
+        right[order],
+        n_kept,
+    )

@@ -1,0 +1,90 @@
+"""Multi-device sharded counting/lookup on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mhm2_proxy_tpu.kcount import KmerCountStore
+from mhm2_proxy_tpu.parallel import ShardedCounter, make_shard_mesh, sharded_lookup
+from mhm2_proxy_tpu.oracle.pyref import count_kmers_oracle, target_shard, minimizer_len_for_k
+from tests.test_count import reads_to_block
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_shard_mesh(8)
+
+
+def make_read_set(rng, k, n_reads=96, L=64):
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = []
+    for _ in range(n_reads):
+        s = int(rng.integers(0, 400 - L))
+        reads.append((genome[s : s + L], chr(33 + 38) * L))
+    return reads
+
+
+def test_sharded_count_matches_oracle(rng, mesh):
+    k = 21
+    reads = make_read_set(rng, k)
+    codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=4096)
+    counter.add_reads_block(codes, qual_ok, lens)
+    assert counter.dropped == 0
+    table = counter.finalize()
+
+    exp = count_kmers_oracle(reads, k)
+    got = {}
+    for ft in table.shard_tables():
+        got.update(ft.to_host_dict())
+    assert got == exp
+
+    # each kmer must live on its minimizer-hash shard
+    m = minimizer_len_for_k(k)
+    for s, ft in enumerate(table.shard_tables()):
+        for km in ft.to_host_dict():
+            assert target_shard(km, m, 8) == s, km
+
+
+def test_sharded_count_multiblock(rng, mesh):
+    k = 21
+    reads = make_read_set(rng, k, n_reads=192)
+    counter = ShardedCounter(k, mesh, bucket_cap=4096)
+    for lo in (0, 96):
+        codes, qual_ok, lens = reads_to_block(reads[lo : lo + 96], B=96, L=64)
+        counter.add_reads_block(codes, qual_ok, lens)
+    table = counter.finalize()
+    got = {}
+    for ft in table.shard_tables():
+        got.update(ft.to_host_dict())
+    assert got == count_kmers_oracle(reads, k)
+
+
+def test_sharded_lookup_roundtrip(rng, mesh):
+    k = 21
+    reads = make_read_set(rng, k)
+    codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=4096)
+    counter.add_reads_block(codes, qual_ok, lens)
+    table = counter.finalize()
+
+    # query every shard's own kmers from every other shard (rotate by 1)
+    S = table.S
+    Q = int(np.asarray(table.n).max())
+    qw = np.roll(np.asarray(table.words[:, :Q]), 1, axis=0)
+    qv = np.roll(np.asarray((np.arange(Q)[None, :] < np.asarray(table.n)[:, None])), 1, axis=0)
+    found, count, left, right = sharded_lookup(table, jnp.asarray(qw), jnp.asarray(qv))
+    found = np.asarray(found)
+    assert found[qv].all()
+    # counts/exts must match the owning shard's table
+    count = np.asarray(count)
+    src_count = np.roll(np.asarray(table.count[:, :Q]), 1, axis=0)
+    assert (count[qv] == src_count[qv]).all()
+
+    # missing kmers must come back not-found
+    miss = np.asarray(table.words[:, :Q]).copy()
+    miss[..., -1] ^= 0x5A5A0000  # corrupt trailing bits -> almost surely absent
+    f2, _, _, _ = sharded_lookup(table, jnp.asarray(np.roll(miss, 1, axis=0)), jnp.asarray(qv))
+    assert np.asarray(f2)[qv].mean() < 0.05

@@ -1,0 +1,86 @@
+"""Traversal vs the Python oracle: contig set equality."""
+
+import numpy as np
+import pytest
+
+from mhm2_proxy_tpu.kcount import KmerCountStore
+from mhm2_proxy_tpu.dbjg import traverse_debruijn_graph
+from mhm2_proxy_tpu.oracle.pyref import count_kmers_oracle, traverse_oracle
+from tests.test_count import reads_to_block
+
+
+def contig_set(contigs):
+    return sorted((seq, round(d, 9)) for seq, d in contigs)
+
+
+def run_both(reads, k, ctgs=None):
+    store = KmerCountStore(k)
+    codes, qual_ok, lens = reads_to_block(reads)
+    store.add_reads_block(codes, qual_ok, lens)
+    table = store.finalize()
+    got = traverse_debruijn_graph(table, k)
+    exp = traverse_oracle(count_kmers_oracle(reads, k, ctgs=ctgs), k)
+    return contig_set(got), contig_set(exp)
+
+
+def coverage_reads(genome, k, rng, n=200, rl=None):
+    rl = rl or (k + 30)
+    reads = []
+    G = len(genome)
+    for _ in range(n):
+        s = int(rng.integers(0, max(1, G - rl)))
+        seq = genome[s : s + rl]
+        reads.append((seq, chr(33 + 38) * len(seq)))
+    return reads
+
+
+@pytest.mark.parametrize("k", [21, 33])
+def test_linear_genome(rng, k):
+    genome = "".join(rng.choice(list("ACGT"), size=500))
+    reads = coverage_reads(genome, k, rng)
+    got, exp = run_both(reads, k)
+    assert got == exp
+    # with clean coverage the whole genome should assemble into few contigs
+    assert len(exp) >= 1
+
+
+def test_fork_genome(rng):
+    """Two genomes sharing a region force forks that break contigs."""
+    k = 21
+    core = "".join(rng.choice(list("ACGT"), size=120))
+    g1 = "".join(rng.choice(list("ACGT"), size=150)) + core + "".join(rng.choice(list("ACGT"), size=150))
+    g2 = "".join(rng.choice(list("ACGT"), size=150)) + core + "".join(rng.choice(list("ACGT"), size=150))
+    reads = coverage_reads(g1, k, rng, n=150) + coverage_reads(g2, k, rng, n=150)
+    got, exp = run_both(reads, k)
+    assert got == exp
+
+
+def test_repeat_cycle(rng):
+    """Circular genome -> cycle in the graph, broken deterministically."""
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=200))
+    circ = genome + genome[: k + 40]  # reads wrapping the origin
+    reads = coverage_reads(circ, k, rng, n=200)
+    got, exp = run_both(reads, k)
+    assert got == exp
+
+
+def test_with_errors(rng):
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = []
+    for seq, q in coverage_reads(genome, k, rng, n=300):
+        s = list(seq)
+        if rng.random() < 0.3:
+            p = int(rng.integers(0, len(s)))
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append(("".join(s), q))
+    got, exp = run_both(reads, k)
+    assert got == exp
+
+
+def test_short_everything(rng):
+    k = 21
+    reads = [("ACGTACGTACGTACGTACGTACGTA", chr(71) * 25)] * 3
+    got, exp = run_both(reads, k)
+    assert got == exp
