@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Deterministic synthetic metagenome sample generator (ArcticSynth stand-in).
+
+Writes a multi-genome community's reference FASTAs and an interleaved paired
+FASTQ with Illumina-like errors. Fixed seed => bit-identical across runs, so
+the golden metrics in ci/good-*.txt are stable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+from mhm2_proxy_tpu.utils.synth import random_genome, simulate_reads  # noqa: E402
+from mhm2_proxy_tpu.io.fastq import write_fastq  # noqa: E402
+from mhm2_proxy_tpu.io.fasta import write_fasta  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="ci/data")
+    ap.add_argument("--genomes", type=int, default=3)
+    ap.add_argument("--genome-len", type=int, default=20000)
+    ap.add_argument("--coverage", type=float, default=18.0)
+    ap.add_argument("--seed", type=int, default=20260817)
+    args = ap.parse_args()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    all_ids, all_seqs, all_quals = [], [], []
+    for g in range(args.genomes):
+        # varied abundances like a real metagenome
+        cov = args.coverage * (1.0 + 0.5 * g)
+        genome = random_genome(rng, args.genome_len + 5000 * g)
+        write_fasta(
+            os.path.join(args.out_dir, f"genome{g}.fasta"), [(g, genome, 1.0)]
+        )
+        ids, seqs, quals = simulate_reads(
+            rng, genome, coverage=cov, read_len=100, insert_mean=220,
+            insert_sd=40, err_rate=0.004,
+        )
+        ids = [f"g{g}.{i.decode()}".encode() for i in ids]
+        all_ids.extend(ids)
+        all_seqs.extend(seqs)
+        all_quals.extend(quals)
+    # interleave order is already /1,/2 alternating per genome; shuffle pairs
+    n_pairs = len(all_seqs) // 2
+    order = rng.permutation(n_pairs)
+    ids, seqs, quals = [], [], []
+    for p in order:
+        for j in (0, 1):
+            ids.append(all_ids[2 * p + j])
+            seqs.append(all_seqs[2 * p + j])
+            quals.append(all_quals[2 * p + j])
+    write_fastq(os.path.join(args.out_dir, "synth_sample.fastq"), ids, seqs, quals)
+    print(f"wrote {n_pairs} pairs + {args.genomes} genomes to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

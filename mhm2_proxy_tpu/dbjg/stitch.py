@@ -1,0 +1,156 @@
+"""Vectorized path stitching by pointer doubling.
+
+Replaces the per-step walker loop with O(log max_path) numpy rounds: the
+reciprocal UU edge graph is a disjoint union of simple paths and cycles, so
+each node yields two directed walk states (exit Left / exit Right in
+canonical orientation); successor pointer doubling finds every path's
+terminal, length, and per-state position simultaneously, and contig bases are
+emitted with a single scatter. Cycles are broken at the minimum member node
+walking right (same deterministic rule as the walker/oracle).
+
+State encoding: s = 2*node + exit_port (0=L, 1=R). The reverse direction of a
+path is its mirrored state chain; exactly one direction is emitted via the
+rule start < mirror(terminal) (mirror = s ^ 1). Cut cycles leave their
+reverse direction cyclic, which suppresses the duplicate for free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import bitkmer as bk
+
+
+def _doubling(succ, rounds):
+    """Returns (terminal_target, dist) after full pointer doubling.
+
+    succ: (S,) int64 with -1 for terminal states. Terminal states map to
+    themselves with distance 0. Cycle states never terminate; their returned
+    target is some cycle member and dist is meaningless.
+    """
+    S = succ.shape[0]
+    term = succ < 0
+    nxt = np.where(term, np.arange(S, dtype=np.int64), succ)
+    d = np.where(term, 0, 1).astype(np.int64)
+    for _ in range(rounds):
+        d = d + d[nxt]
+        nxt = nxt[nxt]
+    return nxt, d, term
+
+
+def stitch_paths(edges: dict, words, count, k: int):
+    """Path decomposition -> list of (canonical seq, depth)."""
+    uu = np.asarray(edges["uu"])
+    n = uu.shape[0]
+    if n == 0 or not uu.any():
+        return []
+    r_idx = np.asarray(edges["r_idx"], np.int64)
+    r_port = np.asarray(edges["r_port"], np.int64)
+    r_ok = np.asarray(edges["r_ok"])
+    l_idx = np.asarray(edges["l_idx"], np.int64)
+    l_port = np.asarray(edges["l_port"], np.int64)
+    l_ok = np.asarray(edges["l_ok"])
+
+    S = 2 * n
+    node = np.arange(n, dtype=np.int64)
+    succ = np.full(S, -1, np.int64)
+    succ[2 * node + 1] = np.where(r_ok & uu, 2 * r_idx + (1 - r_port), -1)
+    succ[2 * node] = np.where(l_ok & uu, 2 * l_idx + (1 - l_port), -1)
+    state_valid = np.repeat(uu, 2)
+
+    rounds = max(1, int(np.ceil(np.log2(S + 1))) + 1)
+    nxt, d, term = _doubling(succ, rounds)
+    in_cycle = state_valid & ~term[nxt]
+
+    # cycle leaders: min node id over each cycle, then cut the edge entering
+    # (min_node, exit=R) so forward cycles become paths from the leader
+    mini = np.arange(S, dtype=np.int64) // 2  # node id per state
+    nx2 = np.where(term, np.arange(S, dtype=np.int64), succ)
+    for _ in range(rounds):
+        mini = np.minimum(mini, mini[nx2])
+        nx2 = nx2[nx2]
+    leader = 2 * mini + 1  # per-state leader state id (meaningful for cycles)
+    succ2 = succ.copy()
+    cut = in_cycle & (succ >= 0) & (succ == leader)
+    succ2[cut] = -1
+
+    nxt2, d2, term2 = _doubling(succ2, rounds)
+    still_cyc = state_valid & ~term2[nxt2]
+
+    # predecessors under succ2
+    has_pred = np.zeros(S, bool)
+    tgt = succ2[succ2 >= 0]
+    has_pred[tgt] = True
+
+    was_cycle_start = in_cycle & ~still_cyc & ~has_pred  # the cut leaders
+    is_start = state_valid & ~still_cyc & ~has_pred
+    starts = np.nonzero(is_start)[0]
+    if starts.size == 0:
+        return []
+    s_term = nxt2[starts]
+    emit = was_cycle_start[starts] | (starts < (s_term ^ 1))
+    starts = starts[emit]
+    if starts.size == 0:
+        return []
+    plen = d2[starts] + 1  # states per path
+
+    # map every state on an emitted path to (path rank, position)
+    n_paths = starts.size
+    start_of_term = np.full(S, -1, np.int64)
+    start_of_term[nxt2[starts]] = np.arange(n_paths)
+    # states on emitted paths: their terminal maps to a path rank
+    st_term = nxt2
+    path_of_state = np.where(
+        state_valid & ~still_cyc, start_of_term[st_term], -1
+    )
+    on_path = path_of_state >= 0
+    # position along the path: d2[start] - d2[state]
+    d_start = np.zeros(S, np.int64)
+    d_start[on_path] = d2[starts[path_of_state[on_path]]]
+    pos = np.zeros(S, np.int64)
+    pos[on_path] = d_start[on_path] - d2[on_path]
+
+    # emitted base per state: exit R -> last base; exit L -> comp(first base)
+    words = np.asarray(words)
+    count = np.asarray(count, np.int64)
+    w_last = (k - 1) // 16
+    sh_last = 2 * (15 - ((k - 1) % 16))
+    first_b = (words[:, 0] >> np.uint32(30)).astype(np.int64) & 3
+    last_b = (words[:, w_last] >> np.uint32(sh_last)).astype(np.int64) & 3
+    state_port = np.arange(S, dtype=np.int64) & 1
+    state_node = np.arange(S, dtype=np.int64) >> 1
+    base = np.where(state_port == 1, last_b[state_node], 3 - first_b[state_node])
+
+    # contig buffer layout
+    clen = k + plen - 1
+    offsets = np.zeros(n_paths + 1, np.int64)
+    np.cumsum(clen, out=offsets[1:])
+    buf = np.zeros(offsets[-1], np.uint8)
+    # single-base scatter for every on-path state (start's own base included,
+    # it lands at offset + k-1 + 0 which the start k-mer write also covers)
+    dst = offsets[path_of_state[on_path]] + (k - 1) + pos[on_path]
+    buf[dst] = base[on_path]
+    # start kmers: oriented full k bases
+    s_nodes = state_node[starts]
+    s_fwd = state_port[starts] == 1
+    kmers = bk.codes_from_words(words[s_nodes], k)  # (n_paths, k) device op
+    kmers = np.asarray(kmers).astype(np.uint8)
+    rc = (3 - kmers[:, ::-1]).astype(np.uint8)
+    oriented = np.where(s_fwd[:, None], kmers, rc)
+    kpos = offsets[:-1, None] + np.arange(k)[None, :]
+    buf[kpos.reshape(-1)] = oriented.reshape(-1)
+
+    # depths: one state per node on each path
+    depth_sum = np.zeros(n_paths, np.int64)
+    np.add.at(depth_sum, path_of_state[on_path], count[state_node[on_path]])
+
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    comp_tbl = str.maketrans("ACGT", "TGCA")
+    out = []
+    for p in range(n_paths):
+        seq = lut[buf[offsets[p] : offsets[p + 1]]].tobytes().decode()
+        rc_s = seq.translate(comp_tbl)[::-1]
+        if rc_s < seq:
+            seq = rc_s
+        out.append((seq, depth_sum[p] / (len(seq) - k + 2)))
+    return out

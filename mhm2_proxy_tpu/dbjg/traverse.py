@@ -85,8 +85,9 @@ def build_edges(words, count, left, right, n, k: int):
     )
 
 
-def stitch_paths(edges: dict, words, count, k: int):
-    """Host path decomposition. Returns list of (seq, depth) tuples."""
+def stitch_paths_walk(edges: dict, words, count, k: int):
+    """Sequential-walker stitcher (reference implementation for tests;
+    production uses dbjg.stitch.stitch_paths pointer doubling)."""
     uu = np.asarray(edges["uu"])
     n_rows = uu.shape[0]
     # nbr[i, port] = neighbor index reachable by exiting `port` of node i
@@ -190,7 +191,33 @@ def stitch_paths(edges: dict, words, count, k: int):
     return contigs
 
 
+def _pad_pow2(table):
+    """Pad table arrays to the next power-of-two row count.
+
+    Keeps build_edges/table_lookup compile shapes stable across rounds and
+    runs (XLA recompiles per shape; table sizes are data dependent). Pad rows
+    use the all-ones empty-key sentinel (sorts last, never UU).
+    """
+    T = table.words.shape[0]
+    P2 = 1 << max(8, (T - 1).bit_length())
+    if P2 == T:
+        return table
+    padn = P2 - T
+    words = jnp.concatenate(
+        [table.words, jnp.full((padn, table.words.shape[1]), 0xFFFFFFFF, jnp.uint32)]
+    )
+    count = jnp.concatenate([table.count, jnp.zeros((padn,), table.count.dtype)])
+    left = jnp.concatenate([table.left, jnp.full((padn,), 5, jnp.uint8)])
+    right = jnp.concatenate([table.right, jnp.full((padn,), 5, jnp.uint8)])
+    import dataclasses
+
+    return dataclasses.replace(table, words=words, count=count, left=left, right=right)
+
+
 def traverse_debruijn_graph(table, k: int):
     """Full traversal of a FinalTable -> list of (seq, depth)."""
+    from .stitch import stitch_paths
+
+    table = _pad_pow2(table)
     edges = build_edges(table.words, table.count, table.left, table.right, table.n, k)
     return stitch_paths(edges, table.words, table.count, k)

@@ -1,0 +1,93 @@
+"""ctypes bindings for the native FASTQ layer (native/fastq_native.cpp).
+
+Builds on demand with make; falls back to the pure-Python reader when the
+toolchain or .so is unavailable (the reference's CPU/GPU-style backend seam
+applied to ingest).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libmhm2_native.so"))
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR), check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.fastq_resync.restype = ctypes.c_int64
+    lib.fastq_resync.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+    lib.fastq_parse_block.restype = ctypes.c_int64
+    lib.fastq_parse_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint8,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fastq_scan.restype = ctypes.c_int64
+    lib.fastq_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def resync(buf: bytes, start: int) -> int:
+    lib = _load()
+    return int(lib.fastq_resync(buf, len(buf), start))
+
+
+def scan(buf: bytes, offset: int = 0) -> tuple[int, int]:
+    """(record_count, max_seq_len) from offset."""
+    lib = _load()
+    ml = ctypes.c_int64(0)
+    cnt = lib.fastq_scan(buf, len(buf), offset, ctypes.byref(ml))
+    return int(cnt), int(ml.value)
+
+
+def parse_blocks(buf: bytes, block_reads: int, pad_len: int, qual_pad: int = 33,
+                 offset: int = 0):
+    """Yield (codes (B,L) u8, quals (B,L) u8, lens (B,) i32) blocks."""
+    lib = _load()
+    n = len(buf)
+    while offset < n:
+        codes = np.empty((block_reads, pad_len), np.uint8)
+        quals = np.empty((block_reads, pad_len), np.uint8)
+        lens = np.empty((block_reads,), np.int32)
+        nxt = ctypes.c_int64(0)
+        got = lib.fastq_parse_block(
+            buf, n, offset, block_reads, pad_len, qual_pad,
+            codes.ctypes.data_as(ctypes.c_void_p),
+            quals.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(nxt),
+        )
+        if got == 0:
+            break
+        yield codes, quals, lens, int(got)
+        offset = int(nxt.value)

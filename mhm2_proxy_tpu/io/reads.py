@@ -1,10 +1,10 @@
 """In-memory packed read storage (reference src/packed_reads.{hpp,cpp}).
 
-Reads are stored as concatenated uint8 base codes (0-3, 4=N) plus phred
-quality bytes and an offsets array — the dense-array analog of the reference's
-PackedRead list (1 byte/base, packed_reads.cpp:85-107). Blocks are served as
-fixed-shape padded (B, L) arrays for jitted consumption, so every batch
-compiles once.
+Reads live in fixed-shape numpy blocks (codes (B, L) uint8 0-3/4=N, raw
+phred quals, lengths) — the dense-array analog of the reference's PackedRead
+list (1 byte/base, packed_reads.cpp:85-107). Blocks are re-chunked into the
+caller's requested (block_reads, pad_len) shape with vectorized copies, so
+ingest and counting never touch individual reads in Python.
 """
 
 from __future__ import annotations
@@ -17,63 +17,77 @@ from ..ops.bitkmer import ascii_to_codes
 class PackedReads:
     def __init__(self, qual_offset: int = 33):
         self.qual_offset = qual_offset
-        self._codes: list[np.ndarray] = []
-        self._quals: list[np.ndarray] = []
-        self._lens: list[int] = []
+        self._blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.max_read_len = 0
+        self._n_reads = 0
+        self._total_bases = 0
+
+    def add_block(self, codes: np.ndarray, quals: np.ndarray, lens: np.ndarray,
+                  n_valid: int | None = None):
+        """Adopt a padded (B, L) block; rows with len 0 are placeholders."""
+        if n_valid is not None:
+            codes, quals, lens = codes[:n_valid], quals[:n_valid], lens[:n_valid]
+        lens = np.asarray(lens, np.int32)
+        self._blocks.append((np.asarray(codes, np.uint8), np.asarray(quals, np.uint8), lens))
+        if len(lens):
+            self.max_read_len = max(self.max_read_len, int(lens.max()))
+        self._n_reads += int((lens > 0).sum())
+        self._total_bases += int(lens.sum())
 
     def add_read(self, seq: bytes | str, quals: bytes | str):
         if isinstance(seq, str):
             seq = seq.encode()
         if isinstance(quals, str):
             quals = quals.encode()
-        self._codes.append(ascii_to_codes(seq))
-        self._quals.append(np.frombuffer(quals, np.uint8))
-        self._lens.append(len(seq))
-        self.max_read_len = max(self.max_read_len, len(seq))
+        n = len(seq)
+        codes = ascii_to_codes(seq)[None, :]
+        q = np.frombuffer(quals, np.uint8)[None, :]
+        self.add_block(codes, q, np.array([n], np.int32))
 
-    def add_batch(self, codes: np.ndarray, quals: np.ndarray, lens: np.ndarray):
-        """Add a padded (B, L) block of already-packed reads."""
-        for i in range(len(lens)):
-            n = int(lens[i])
-            self._codes.append(np.asarray(codes[i, :n], np.uint8))
-            self._quals.append(np.asarray(quals[i, :n], np.uint8))
-            self._lens.append(n)
-            self.max_read_len = max(self.max_read_len, n)
+    # compat helper for tests that append per-read
+    def add_batch(self, codes, quals, lens):
+        self.add_block(np.asarray(codes), np.asarray(quals), np.asarray(lens))
 
     def __len__(self):
-        return len(self._lens)
+        return self._n_reads
 
     @property
     def total_bases(self):
-        return int(np.sum(self._lens)) if self._lens else 0
+        return self._total_bases
 
     def blocks(self, block_reads: int, pad_len: int | None = None, min_len: int = 0):
-        """Yield fixed-shape (B, L) blocks: (codes u8, qual_ok? no — quals u8, lens i32).
+        """Yield fixed-shape (codes (B,L), quals (B,L), lens (B,)) blocks.
 
-        Short reads (len < min_len) are padded out (len 0) rather than
-        dropped so that shapes stay static. The last block is zero-padded to
-        the full B.
+        Reads shorter than min_len keep their row but get len 0 (masked out
+        downstream), preserving static shapes. The final block is padded.
         """
-        L = pad_len or self.max_read_len
-        idxs = [i for i in range(len(self._lens))]
-        for s in range(0, max(len(idxs), 1), block_reads):
-            chunk = idxs[s : s + block_reads]
-            if not chunk and s > 0:
-                break
-            codes = np.full((block_reads, L), 4, np.uint8)
-            quals = np.zeros((block_reads, L), np.uint8)
-            lens = np.zeros((block_reads,), np.int32)
-            for bi, ri in enumerate(chunk):
-                n = self._lens[ri]
-                if n < min_len:
-                    continue
-                codes[bi, :n] = self._codes[ri]
-                quals[bi, :n] = self._quals[ri]
-                lens[bi] = n
-            yield codes, quals, lens
-            if not chunk:
-                break
+        L = pad_len or max(self.max_read_len, 1)
+        out_c = np.full((block_reads, L), 4, np.uint8)
+        out_q = np.zeros((block_reads, L), np.uint8)
+        out_l = np.zeros((block_reads,), np.int32)
+        cur = 0
+        emitted = False
+        for codes, quals, lens in self._blocks:
+            nb, Lb = codes.shape
+            Lc = min(Lb, L)
+            pos = 0
+            while pos < nb:
+                take = min(nb - pos, block_reads - cur)
+                out_c[cur : cur + take, :Lc] = codes[pos : pos + take, :Lc]
+                out_q[cur : cur + take, :Lc] = quals[pos : pos + take, :Lc]
+                ls = np.minimum(lens[pos : pos + take], L)
+                out_l[cur : cur + take] = np.where(ls >= max(min_len, 1), ls, 0)
+                cur += take
+                pos += take
+                if cur == block_reads:
+                    yield out_c, out_q, out_l
+                    emitted = True
+                    out_c = np.full((block_reads, L), 4, np.uint8)
+                    out_q = np.zeros((block_reads, L), np.uint8)
+                    out_l = np.zeros((block_reads,), np.int32)
+                    cur = 0
+        if cur > 0 or not emitted:
+            yield out_c, out_q, out_l
 
     def qual_ok(self, quals: np.ndarray, cutoff: int = 20) -> np.ndarray:
         """phred >= cutoff mask (reference kcount.cpp:80-85)."""

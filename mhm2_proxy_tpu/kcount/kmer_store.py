@@ -43,6 +43,14 @@ class FinalTable:
     right: jnp.ndarray  # (T,) uint8
     n: jnp.ndarray  # scalar int32 number of valid rows
 
+    def dump_kmers(self, fname: str):
+        """Write 'KMER count L R' lines gzipped (reference kmer_dht.cpp:238-266)."""
+        import gzip
+
+        with gzip.open(fname, "wt") as f:
+            for km, (c, l, r) in sorted(self.to_host_dict().items()):
+                f.write(f"{km} {c} {l} {r}\n")
+
     def to_host_dict(self) -> dict[str, tuple[int, str, str]]:
         """Materialize as {kmer_str: (count, left_char, right_char)}."""
         n = int(self.n)

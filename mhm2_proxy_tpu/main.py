@@ -1,0 +1,105 @@
+"""Application driver (reference src/main.cpp + src/mhm2.py launcher roles).
+
+Flow mirrors main() (main.cpp:64-241): option load, output-dir setup, config
+save, read merge+pack, per-k contigging rounds with checkpoint files, final
+assembly dump and stats. Restart semantics follow the reference
+(docs/mhm_guide.md:197-210): with --restart, rounds whose contigs-<k>.fasta
+checkpoint exists are skipped and their contigs reloaded, resuming at the
+first missing round.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from .models.assembler import Assembler, AssemblerConfig, Contig
+from .io.fasta import read_fasta
+from .options import Options, parse_args, setup_output_dir
+from .utils.logger import get_logger
+from .utils.memlog import MemoryTracker
+
+
+def load_checkpoint_contigs(fname: str) -> list[Contig]:
+    out = []
+    for name, seq in read_fasta(fname):
+        parts = name.split()
+        cid = int(parts[0].replace("Contig", "")) if parts else 0
+        depth = float(parts[1]) if len(parts) > 1 else 1.0
+        out.append(Contig(cid, seq, depth))
+    return out
+
+
+def run_pipeline(opts: Options) -> Assembler:
+    out_dir = setup_output_dir(opts)
+    log = get_logger(log_file=os.path.join(out_dir, "mhm2_tpu.log"), verbose=opts.verbose)
+    opts.save(os.path.join(out_dir, "mhm2_tpu.config"))
+    log.info(f"Starting mhm2_tpu in {out_dir} with k={opts.kmer_lens}")
+
+    cfg = AssemblerConfig(
+        kmer_lens=tuple(opts.kmer_lens),
+        qual_offset=opts.qual_offset,
+        dmin_thres=opts.min_depth_thres,
+        min_ctg_print_len=opts.min_ctg_print_len,
+        block_reads=opts.block_reads,
+        checkpoint=opts.checkpoint,
+        output_dir=out_dir,
+        n_shards=opts.shards,
+        verbose=opts.verbose,
+        dump_kmers=opts.dump_kmers,
+    )
+    asm = Assembler(cfg)
+    tracker = MemoryTracker(os.path.join(out_dir, "memory_tracker.log"))
+    tracker.start()
+    try:
+        t0 = time.time()
+        asm.load_reads(list(opts.reads))
+        if opts.unpaired:
+            from .io.fastq import FastqReader
+
+            for fname in opts.unpaired:
+                r = FastqReader(fname)
+                asm.add_unpaired(r.seqs, r.quals)
+        log.info(f"[module] merge_reads {time.time()-t0:.2f}s")
+
+        for k in opts.kmer_lens:
+            ckpt = os.path.join(out_dir, f"contigs-{k}.fasta")
+            if opts.restart and os.path.exists(ckpt):
+                asm.contigs = load_checkpoint_contigs(ckpt)
+                log.info(f"[restart] skipping k={k}, loaded {len(asm.contigs)} contigs from {ckpt}")
+                continue
+            t0 = time.time()
+            asm.run_round(k)
+            log.info(f"[module] contigging k={k} {time.time()-t0:.2f}s")
+
+        asm.dump_contigs(os.path.join(out_dir, "final_assembly.fasta"))
+        asm.print_stats()
+        log.info("Finished")
+    finally:
+        tracker.stop()
+    return asm
+
+
+def main(argv=None):
+    # Make JAX_PLATFORMS authoritative: plugin sitecustomize hooks (e.g. the
+    # axon TPU tunnel in this environment) can override platform selection at
+    # interpreter startup; config.update after import wins.
+    plat = os.environ.get("JAX_PLATFORMS")
+    import jax
+
+    if plat:
+        jax.config.update("jax_platforms", plat.split(",")[0])
+    # persistent compilation cache: round/table shapes repeat across runs
+    cache_dir = os.environ.get(
+        "MHM2_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".mhm2_tpu_jax_cache")
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    opts = parse_args(argv)
+    run_pipeline(opts)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,11 @@ class AssemblerConfig:
     checkpoint_merged: bool = False
     output_dir: str = "."
     verbose: bool = False
+    # >0 selects the sharded multi-device backend over an n-device mesh
+    # (the analog of the reference's CPU/GPU backend seam, kcount.hpp:57-69)
+    n_shards: int = 0
+    bucket_cap: int | None = None
+    dump_kmers: bool = False
 
 
 @dataclasses.dataclass
@@ -61,80 +66,135 @@ class Assembler:
     # -- ingest + merge ----------------------------------------------------
 
     def load_reads(self, reads_fnames: list[str]):
-        """Read FASTQ files (paired 'f1:f2' or interleaved) and merge pairs."""
+        """Read FASTQ files (paired 'f1:f2' or interleaved) and merge pairs.
+
+        Uses the native C++ parser (io/native.py) when available, falling
+        back to the Python parser; both paths produce identical blocks.
+        """
         for fname in reads_fnames:
             f1, f2 = split_paired_fname(fname)
-            r1 = FastqReader(f1)
+            buf1 = _read_decompressed(f1)
             if f2 is not None:
-                r2 = FastqReader(f2)
-                seqs1, quals1 = r1.seqs, r1.quals
-                seqs2, quals2 = r2.seqs, r2.quals
+                buf2 = _read_decompressed(f2)
+                self._merge_two_buffers(buf1, buf2)
             else:
-                seqs1, quals1 = r1.seqs[0::2], r1.quals[0::2]
-                seqs2, quals2 = r1.seqs[1::2], r1.quals[1::2]
-            self._merge_and_pack(seqs1, quals1, seqs2, quals2)
+                self._merge_interleaved_buffer(buf1)
+        self.log.info(
+            f"Merged {getattr(self, '_n_merged', 0)}/{getattr(self, '_n_pairs', 0)} pairs"
+        )
         self.log.info(
             f"Loaded {len(self.packed_reads)} reads, {self.packed_reads.total_bases} bases"
         )
 
     def add_interleaved(self, seqs, quals):
-        self._merge_and_pack(seqs[0::2], quals[0::2], seqs[1::2], quals[1::2])
+        c, q, l = _lists_to_block(seqs, quals, self.cfg.pad_len_quantum, self.cfg.qual_offset)
+        self._merge_blocks(c[0::2], q[0::2], l[0::2], c[1::2], q[1::2], l[1::2])
 
     def add_unpaired(self, seqs, quals):
-        for s, q in zip(seqs, quals):
-            self.packed_reads.add_read(s, q)
+        c, q, l = _lists_to_block(seqs, quals, self.cfg.pad_len_quantum, self.cfg.qual_offset)
+        self.packed_reads.add_block(c, q, l)
 
-    def _merge_and_pack(self, seqs1, quals1, seqs2, quals2):
+    def _parse_blocks(self, buf: bytes, block_reads: int):
+        from ..io import native
+
+        if native.native_available():
+            cnt, maxlen = native.scan(buf)
+            q = self.cfg.pad_len_quantum
+            L = max(((maxlen + q - 1) // q) * q, q)
+            yield from (
+                (c, ql, le, n)
+                for c, ql, le, n in native.parse_blocks(
+                    buf, block_reads, L, qual_pad=self.cfg.qual_offset
+                )
+            )
+        else:
+            from ..io.fastq import parse_fastq_bytes
+
+            ids, seqs, quals = parse_fastq_bytes(buf)
+            for s0 in range(0, len(seqs), block_reads):
+                chunk_s = seqs[s0 : s0 + block_reads]
+                chunk_q = quals[s0 : s0 + block_reads]
+                c, ql, le = _lists_to_block(
+                    chunk_s, chunk_q, self.cfg.pad_len_quantum, self.cfg.qual_offset,
+                    rows=block_reads,
+                )
+                yield c, ql, le, len(chunk_s)
+
+    def _merge_two_buffers(self, buf1: bytes, buf2: bytes):
+        B = self.cfg.block_reads
+        it2 = self._parse_blocks(buf2, B)
+        for c1, q1, l1, n1 in self._parse_blocks(buf1, B):
+            c2, q2, l2, n2 = next(it2)
+            if n1 != n2:
+                raise ValueError(f"paired files record mismatch: {n1} vs {n2}")
+            self._merge_blocks(c1, q1, l1, c2, q2, l2)
+
+    def _merge_interleaved_buffer(self, buf: bytes):
+        B = self.cfg.block_reads
+        for c, q, l, n in self._parse_blocks(buf, 2 * B):
+            self._merge_blocks(c[0::2], q[0::2], l[0::2], c[1::2], q[1::2], l[1::2])
+
+    def _merge_blocks(self, c1, q1, l1, c2, q2, l2):
+        """Merge aligned pair blocks and pack results (block-vectorized)."""
         cfg = self.cfg
-        B = cfg.block_reads
-        n = len(seqs1)
-        maxlen = max((max((len(s) for s in seqs1), default=1)), max((len(s) for s in seqs2), default=1))
-        q = cfg.pad_len_quantum
-        L = ((maxlen + q - 1) // q) * q
-        n_merged = 0
-        for s in range(0, n, B):
-            chunk = slice(s, min(s + B, n))
-            nn = chunk.stop - chunk.start
-            c1 = np.full((B, L), 4, np.uint8)
-            c2 = np.full((B, L), 4, np.uint8)
-            q1 = np.full((B, L), cfg.qual_offset, np.uint8)
-            q2 = np.full((B, L), cfg.qual_offset, np.uint8)
-            l1 = np.zeros(B, np.int32)
-            l2 = np.zeros(B, np.int32)
-            for i in range(nn):
-                s1, s2_ = seqs1[chunk.start + i], seqs2[chunk.start + i]
-                c1[i, : len(s1)] = ascii_to_codes(s1)
-                c2[i, : len(s2_)] = ascii_to_codes(s2_)
-                qs1, qs2 = quals1[chunk.start + i], quals2[chunk.start + i]
-                q1[i, : len(qs1)] = np.frombuffer(qs1, np.uint8)
-                q2[i, : len(qs2)] = np.frombuffer(qs2, np.uint8)
-                l1[i], l2[i] = len(s1), len(s2_)
-            out = merge_reads_arrays(c1, q1, l1, c2, q2, l2, qual_offset=cfg.qual_offset)
-            merged = out["merged"]
-            for i in range(nn):
-                if merged[i]:
-                    ln = int(out["m_len"][i])
-                    self.packed_reads._codes.append(out["m_codes"][i, :ln].copy())
-                    self.packed_reads._quals.append(out["m_quals"][i, :ln].copy())
-                    self.packed_reads._lens.append(ln)
-                    self.packed_reads.max_read_len = max(self.packed_reads.max_read_len, ln)
-                    n_merged += 1
-                else:
-                    for c, qq, ll in ((c1, out["quals1_z"], l1), (c2, out["quals2_z"], l2)):
-                        ln = int(ll[i])
-                        self.packed_reads._codes.append(np.asarray(c[i, :ln], np.uint8).copy())
-                        self.packed_reads._quals.append(np.asarray(qq[i, :ln], np.uint8).copy())
-                        self.packed_reads._lens.append(ln)
-                        self.packed_reads.max_read_len = max(self.packed_reads.max_read_len, ln)
-        self.log.info(f"Merged {n_merged}/{n} pairs")
+        # equalize widths
+        L = max(c1.shape[1], c2.shape[1])
+        pad = lambda a, v: (
+            a if a.shape[1] == L else np.pad(a, ((0, 0), (0, L - a.shape[1])), constant_values=v)
+        )
+        c1, c2 = pad(c1, 4), pad(c2, 4)
+        q1, q2 = pad(q1, cfg.qual_offset), pad(q2, cfg.qual_offset)
+        out = merge_reads_arrays(c1, q1, l1, c2, q2, l2, qual_offset=cfg.qual_offset)
+        merged = out["merged"] & (l1 > 0) & (l2 > 0)
+        mi = np.nonzero(merged)[0]
+        ui = np.nonzero(~merged & ((l1 > 0) | (l2 > 0)))[0]
+        if mi.size:
+            self.packed_reads.add_block(out["m_codes"][mi], out["m_quals"][mi], out["m_len"][mi])
+        if ui.size:
+            self.packed_reads.add_block(c1[ui], out["quals1_z"][ui], l1[ui])
+            self.packed_reads.add_block(c2[ui], out["quals2_z"][ui], l2[ui])
+        self._n_merged = getattr(self, "_n_merged", 0) + int(mi.size)
+        self._n_pairs = getattr(self, "_n_pairs", 0) + int(((l1 > 0) & (l2 > 0)).sum())
+        self.log.debug(f"Merged {mi.size}/{(l1 > 0).sum()} pairs in block")
 
     # -- contigging rounds -------------------------------------------------
+
+    def _make_store(self, k: int):
+        cfg = self.cfg
+        if cfg.n_shards > 0:
+            from ..parallel import ShardedCounter, make_shard_mesh
+
+            if not hasattr(self, "_mesh"):
+                self._mesh = make_shard_mesh(cfg.n_shards)
+            return ShardedCounter(
+                k, self._mesh, dmin_thres=cfg.dmin_thres, bucket_cap=cfg.bucket_cap
+            )
+        return KmerCountStore(k, dmin_thres=cfg.dmin_thres)
+
+    def _estimate_num_kmers(self, k: int) -> int:
+        """Estimated k-mer records this round (reference contigging.cpp:61-91
+        samples reads; our packed store knows totals exactly)."""
+        n = len(self.packed_reads)
+        return max(self.packed_reads.total_bases - n * (k + 1), 0)
 
     def run_round(self, k: int) -> list[Contig]:
         """One contigging round (reference contigging.cpp:93-158)."""
         cfg = self.cfg
         t0 = time.time()
-        store = KmerCountStore(k, dmin_thres=cfg.dmin_thres)
+        # memory pre-flight (reference kmer_dht.cpp:119-131, main.cpp:107-130)
+        est = self._estimate_num_kmers(k)
+        from ..constants import words32_for_k
+        from ..utils.memlog import get_free_mem_bytes
+
+        bytes_per_rec = 4 * words32_for_k(k) + 8 + 2 * 32  # words + count + exts
+        want = est * bytes_per_rec * 2  # LSM transient factor
+        free = get_free_mem_bytes()
+        if want > 0.8 * free:
+            self.log.warning(
+                f"k={k}: estimated {est} kmer records (~{want>>20} MiB) vs "
+                f"{free>>20} MiB free; may run out of memory"
+            )
+        store = self._make_store(k)
         q = cfg.pad_len_quantum
         L = max(((self.packed_reads.max_read_len + q - 1) // q) * q, k + q)
         n_blocks = 0
@@ -145,12 +205,30 @@ class Assembler:
         if self.contigs:
             self._add_ctg_kmers(store, k)
         table = store.finalize()
-        n_kmers = int(table.n)
+        n_kmers = int(np.sum(np.asarray(table.n)))
         self.log.info(
             f"k={k}: counted {n_kmers} kmers from {n_blocks} blocks in {time.time()-t0:.1f}s"
         )
+        if cfg.dump_kmers:
+            fname = f"{cfg.output_dir}/kmers-{k}.txt.gz"
+            if cfg.n_shards > 0:
+                import gzip
+
+                with gzip.open(fname, "wt") as f:
+                    rows = {}
+                    for ft in table.shard_tables():
+                        rows.update(ft.to_host_dict())
+                    for km, (c, l, r) in sorted(rows.items()):
+                        f.write(f"{km} {c} {l} {r}\n")
+            else:
+                table.dump_kmers(fname)
         t1 = time.time()
-        raw = traverse_debruijn_graph(table, k)
+        if cfg.n_shards > 0:
+            from ..dbjg import traverse_debruijn_graph_sharded
+
+            raw = traverse_debruijn_graph_sharded(table, k)
+        else:
+            raw = traverse_debruijn_graph(table, k)
         self.contigs = [Contig(i, seq, depth) for i, (seq, depth) in enumerate(sorted(raw))]
         self.log.info(
             f"k={k}: traversal -> {len(self.contigs)} contigs in {time.time()-t1:.1f}s"
@@ -162,13 +240,13 @@ class Assembler:
             )
         return self.contigs
 
-    def _add_ctg_kmers(self, store: KmerCountStore, k: int):
+    def _add_ctg_kmers(self, store, k: int):
         """Second pass: contig k-mers with depth (reference kcount.cpp:100-138)."""
         cfg = self.cfg
         ctgs = [c for c in self.contigs if len(c.seq) >= k + 2]
         if not ctgs:
             return
-        B = 256
+        B = 256 if self.cfg.n_shards == 0 else 32 * self.cfg.n_shards
         maxlen = max(len(c.seq) for c in ctgs)
         q = cfg.pad_len_quantum
         L = ((maxlen + q - 1) // q) * q
@@ -210,7 +288,7 @@ class Assembler:
         stats = {
             "num_contigs": len(lens),
             "total_length": tot,
-            "avg_depth": (sum(depths) / len(depths)) if depths else 0.0,
+            "avg_depth": float(sum(depths) / len(depths)) if depths else 0.0,
             "max_length": lens[0] if lens else 0,
             "n50": n50,
         }
@@ -228,3 +306,26 @@ def assemble(reads_fnames: list[str], config: AssemblerConfig | None = None):
     asm.dump_contigs(f"{asm.cfg.output_dir}/final_assembly.fasta")
     asm.print_stats()
     return asm
+
+def _read_decompressed(fname: str) -> bytes:
+    import gzip
+
+    opener = gzip.open if fname.endswith(".gz") else open
+    with opener(fname, "rb") as f:
+        return f.read()
+
+
+def _lists_to_block(seqs, quals, quantum: int, qual_offset: int, rows: int | None = None):
+    maxlen = max((len(s) for s in seqs), default=1)
+    L = ((maxlen + quantum - 1) // quantum) * quantum
+    B = rows or len(seqs)
+    codes = np.full((B, L), 4, np.uint8)
+    q = np.full((B, L), qual_offset, np.uint8)
+    lens = np.zeros((B,), np.int32)
+    for i, (sq, ql) in enumerate(zip(seqs, quals)):
+        sq = sq.encode() if isinstance(sq, str) else sq
+        ql = ql.encode() if isinstance(ql, str) else ql
+        codes[i, : len(sq)] = ascii_to_codes(sq)
+        q[i, : len(ql)] = np.frombuffer(ql, np.uint8)
+        lens[i] = len(sq)
+    return codes, q, lens

@@ -1,0 +1,112 @@
+"""CLI options and config round-trip (reference src/options.{hpp,cpp}).
+
+Mirrors the reference's CLI surface (options.cpp:253-459): reads specs,
+k progression, depth threshold, checkpointing, restart, kmer dumps, output
+dir handling, and a config file that records every option and can be reloaded
+(`--config`, options.cpp:448-456). The config format is JSON instead of INI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+from .constants import DEFAULT_KMER_LENS, DEFAULT_MIN_CTG_PRINT_LEN, DEFAULT_QUAL_OFFSET
+
+
+@dataclasses.dataclass
+class Options:
+    reads: list = dataclasses.field(default_factory=list)  # interleaved or 'f1:f2'
+    unpaired: list = dataclasses.field(default_factory=list)
+    kmer_lens: list = dataclasses.field(default_factory=lambda: list(DEFAULT_KMER_LENS))
+    min_depth_thres: int = 2
+    qual_offset: int = DEFAULT_QUAL_OFFSET
+    output_dir: str = ""
+    checkpoint: bool = True
+    checkpoint_merged: bool = False
+    dump_kmers: bool = False
+    restart: bool = False
+    min_ctg_print_len: int = DEFAULT_MIN_CTG_PRINT_LEN
+    block_reads: int = 4096
+    shards: int = 0
+    verbose: bool = False
+
+    def save(self, fname: str):
+        with open(fname, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+
+    @staticmethod
+    def load_config(fname: str) -> "Options":
+        with open(fname) as f:
+            return Options(**json.load(f))
+
+
+def parse_args(argv=None) -> Options:
+    p = argparse.ArgumentParser(
+        prog="mhm2_tpu",
+        description="TPU-native metagenome contigging (MHM2 proxy capability set)",
+    )
+    p.add_argument("-r", "--reads", nargs="+", default=[],
+                   help="interleaved FASTQ files or paired as file1:file2")
+    p.add_argument("-u", "--unpaired", nargs="+", default=[], help="unpaired FASTQ files")
+    p.add_argument("-k", "--kmer-lens", type=int, nargs="+",
+                   default=list(DEFAULT_KMER_LENS), help="k-mer length progression")
+    p.add_argument("--min-depth-thres", type=int, default=2,
+                   help="minimum depth for distinct extension calls")
+    p.add_argument("-Q", "--quality-offset", type=int, default=DEFAULT_QUAL_OFFSET,
+                   choices=(33, 64))
+    p.add_argument("-o", "--output", default="", help="output directory")
+    p.add_argument("--checkpoint", action=argparse.BooleanOptionalAction, default=True,
+                   help="write contigs-<k>.fasta each round")
+    p.add_argument("--checkpoint-merged", action="store_true",
+                   help="write merged reads FASTQ checkpoints")
+    p.add_argument("--dump-kmers", action="store_true",
+                   help="write kmers-<k>.txt.gz per round")
+    p.add_argument("--restart", action="store_true",
+                   help="resume in an existing output dir at the first missing round")
+    p.add_argument("--min-ctg-print-len", type=int, default=DEFAULT_MIN_CTG_PRINT_LEN)
+    p.add_argument("--block-reads", type=int, default=4096)
+    p.add_argument("--shards", type=int, default=0,
+                   help=">0: shard counting/traversal over this many devices")
+    p.add_argument("--config", default=None, help="load options from a config file")
+    p.add_argument("-v", "--verbose", action="store_true")
+    a = p.parse_args(argv)
+
+    if a.config:
+        opts = Options.load_config(a.config)
+        # CLI restart flag still applies on top of a loaded config
+        if a.restart:
+            opts.restart = True
+        return opts
+
+    if not a.reads and not a.unpaired and not a.restart:
+        p.error("at least one of --reads/--unpaired (or --restart with --config) is required")
+
+    return Options(
+        reads=a.reads,
+        unpaired=a.unpaired,
+        kmer_lens=a.kmer_lens,
+        min_depth_thres=a.min_depth_thres,
+        qual_offset=a.quality_offset,
+        output_dir=a.output,
+        checkpoint=a.checkpoint,
+        checkpoint_merged=a.checkpoint_merged,
+        dump_kmers=a.dump_kmers,
+        restart=a.restart,
+        min_ctg_print_len=a.min_ctg_print_len,
+        block_reads=a.block_reads,
+        shards=a.shards,
+        verbose=a.verbose,
+    )
+
+
+def setup_output_dir(opts: Options) -> str:
+    """Create/enter the output dir (reference options.cpp:89-200)."""
+    out = opts.output_dir
+    if not out:
+        base = os.path.basename(opts.reads[0].split(":")[0]) if opts.reads else "run"
+        out = "mhm2_tpu-run-" + os.path.splitext(base)[0]
+    os.makedirs(out, exist_ok=True)
+    return out

@@ -26,7 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..constants import MAX_KMER_COUNT, minimizer_len_for_k, words32_for_k
 from ..ops import count as C
 from ..ops import bitkmer as bk
-from ..kcount.kmer_store import FinalTable
+from ..kcount.kmer_store import (
+    FinalTable,
+    _aggregate_ctg_records,
+    _merge_ctg_aggregates,
+    _apply_ctg_rules,
+)
 from ..ops.lookup import table_lookup
 
 I32 = jnp.int32
@@ -99,21 +104,29 @@ class ShardedCounter:
         self.dmin_thres = dmin_thres
         self.bucket_cap = bucket_cap
         self.runs: list[tuple] = []
+        self.ctg_runs: list[tuple] = []
         self.dropped = 0
-        self._count_step = None
+        self._count_steps = {}
         self._agg = jax.jit(jax.vmap(C.aggregate_records))
         self._merge = jax.jit(jax.vmap(C.merge_aggregates))
         self._finalize = jax.jit(
             jax.vmap(partial(C.finalize_table, dmin_thres=dmin_thres))
         )
+        self._merge_ctg = jax.jit(jax.vmap(_merge_ctg_aggregates))
+        self._apply_ctg = jax.jit(
+            jax.vmap(partial(_apply_ctg_rules, dmin_thres=dmin_thres))
+        )
 
-    def _build_count_step(self, B, L, cap):
+    def _build_count_step(self, B, L, cap, ctg_mode: bool):
         k, m, S = self.k, self.m, self.S
         W = words32_for_k(k)
         mesh = self.mesh
 
-        def per_device(codes, qual_ok, lens):
-            rec = C.read_kmer_records(codes, qual_ok, lens, k, m, n_shards=S)
+        def per_device(codes, qual_ok, lens, depth):
+            rec = C.read_kmer_records(
+                codes, qual_ok, lens, k, m, n_shards=S,
+                depth=depth if ctg_mode else None,
+            )
             payload = _pack_records(rec)
             buckets, dropped = _bucketize(payload, rec["target"], rec["valid"], S, cap)
             recv = jax.lax.all_to_all(buckets, "shards", split_axis=0, concat_axis=0, tiled=True)
@@ -122,39 +135,57 @@ class ShardedCounter:
         fn = jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P("shards"), P("shards"), P("shards")),
+            in_specs=(P("shards"),) * 4,
             out_specs=(P("shards"), P("shards")),
             check_vma=False,
         )
 
         @jax.jit
-        def step(codes, qual_ok, lens):
-            payloads, dropped = fn(codes, qual_ok, lens)
+        def step(codes, qual_ok, lens, depth):
+            payloads, dropped = fn(codes, qual_ok, lens, depth)
             # payloads: (S * S*cap, W+2) -> (S, S*cap, W+2) one row per shard
             pl = payloads.reshape(self.S, self.S * cap, W + 2)
             words, left, right, count, valid = jax.vmap(partial(_unpack_records, W=W))(pl)
-            agg = jax.vmap(C.aggregate_records)(words, left, right, count, valid)
+            if ctg_mode:
+                agg = jax.vmap(_aggregate_ctg_records)(words, left, right, count, valid)
+            else:
+                agg = jax.vmap(C.aggregate_records)(words, left, right, count, valid)
             return agg, jnp.sum(dropped)
 
         return step
 
     def add_reads_block(self, codes, qual_ok, lens):
         """codes: (S*B, L) global arrays sharded over devices on axis 0."""
-        SB, L = codes.shape
+        self._add_block(codes, qual_ok, lens, None)
+
+    def add_ctgs_block(self, codes, lens, depths):
+        """Contig-kmer pass with per-contig depth (reference kcount.cpp:100-138)."""
+        qual_ok = np.ones(np.asarray(codes).shape, bool)
+        self._add_block(codes, qual_ok, lens, np.asarray(depths, np.int32))
+
+    def _add_block(self, codes, qual_ok, lens, depths):
+        ctg_mode = depths is not None
+        SB, L = np.asarray(codes).shape
         B = SB // self.S
         P_ = L - self.k + 1
         cap = self.bucket_cap or max(256, int(B * P_ // max(self.S, 1) * 2))
-        key = (B, L, cap)
-        if self._count_step is None or self._count_step_key != key:
-            self._count_step = self._build_count_step(B, L, cap)
-            self._count_step_key = key
+        key = (B, L, cap, ctg_mode)
+        steps = self._count_steps
+        if key not in steps:
+            steps[key] = self._build_count_step(B, L, cap, ctg_mode)
         sharding = NamedSharding(self.mesh, P("shards"))
         codes = jax.device_put(jnp.asarray(codes), sharding)
         qual_ok = jax.device_put(jnp.asarray(qual_ok), sharding)
         lens = jax.device_put(jnp.asarray(lens), sharding)
+        if depths is None:
+            depths = jnp.zeros((SB,), jnp.int32)
+        depths = jax.device_put(jnp.asarray(depths), sharding)
         with jax.set_mesh(self.mesh):
-            agg, dropped = self._count_step(codes, qual_ok, lens)
-            self._push_run(agg)
+            agg, dropped = steps[key](codes, qual_ok, lens, depths)
+            if ctg_mode:
+                self._push_ctg_run(agg)
+            else:
+                self._push_run(agg)
         self.dropped += int(dropped)
 
     def _push_run(self, agg):
@@ -163,6 +194,13 @@ class ShardedCounter:
             b = self.runs.pop()
             a = self.runs.pop()
             self.runs.append(self._merge(*a[:4], *b[:4]))
+
+    def _push_ctg_run(self, agg):
+        self.ctg_runs.append(agg)
+        while len(self.ctg_runs) >= 2 and self.ctg_runs[-1][0].shape[1] >= self.ctg_runs[-2][0].shape[1] // 2:
+            b = self.ctg_runs.pop()
+            a = self.ctg_runs.pop()
+            self.ctg_runs.append(self._merge_ctg(*a[:4], *b[:4]))
 
     def finalize(self) -> "ShardedTable":
         with jax.set_mesh(self.mesh):
@@ -180,7 +218,14 @@ class ShardedCounter:
                 (z, jnp.zeros((self.S, 1), I64), jnp.zeros((self.S, 1, 4), I64),
                  jnp.zeros((self.S, 1, 4), I64), jnp.zeros((self.S,), I32))
             )
-        words, cnt, left, right, n = self._finalize(*self.runs[0])
+        merged = self.runs[0]
+        while len(self.ctg_runs) > 1:
+            b = self.ctg_runs.pop()
+            a = self.ctg_runs.pop()
+            self.ctg_runs.append(self._merge_ctg(*a[:4], *b[:4]))
+        if self.ctg_runs:
+            merged = self._apply_ctg(*merged, *self.ctg_runs[0])
+        words, cnt, left, right, n = self._finalize(*merged)
         return ShardedTable(self.k, words, cnt, left, right, n, self.mesh)
 
 
@@ -246,27 +291,31 @@ def sharded_lookup(table: ShardedTable, query_words, query_valid, cap: int | Non
             | (jnp.clip(t_count[idx], 0, MAX_KMER_COUNT).astype(U32) << U32(17))
         )
         ans = jnp.where(r_valid, ans, U32(0))
-        # route answers + ids back; slot (s, c) returns to source shard s
-        stack = jnp.stack([ans, r_qid.astype(U32), r_valid.astype(U32)], axis=-1)
-        back = stack.reshape(S, cap, 3)
+        # route answers + owner row idx back; slot (s,c) returns to shard s
+        stack = jnp.stack(
+            [ans, idx.astype(U32), r_qid.astype(U32), r_valid.astype(U32)], axis=-1
+        )
+        back = stack.reshape(S, cap, 4)
         recv_back = jax.lax.all_to_all(back, "shards", split_axis=0, concat_axis=0, tiled=True)
-        flat = recv_back.reshape(S * cap, 3)
-        dest = jnp.where(flat[:, 2].astype(bool), flat[:, 1].astype(I32), Q)
+        flat = recv_back.reshape(S * cap, 4)
+        dest = jnp.where(flat[:, 3].astype(bool), flat[:, 2].astype(I32), Q)
         out = jnp.zeros((Q + 1,), U32)
         out = out.at[dest].set(flat[:, 0], mode="drop")
-        return out[None, :Q]
+        oidx = jnp.zeros((Q + 1,), U32)
+        oidx = oidx.at[dest].set(flat[:, 1], mode="drop")
+        return out[None, :Q], oidx[None, :Q]
 
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P("shards"),) * 7,
-        out_specs=P("shards"),
+        out_specs=(P("shards"), P("shards")),
         check_vma=False,
     )
     with jax.set_mesh(mesh):
-        ans = fn(query_words, query_valid, table.words, table.count, table.left, table.right, table.n)
+        ans, oidx = fn(query_words, query_valid, table.words, table.count, table.left, table.right, table.n)
     found = (ans & U32(1)).astype(bool)
     left = ((ans >> U32(1)) & U32(0xFF)).astype(jnp.uint8)
     right = ((ans >> U32(9)) & U32(0xFF)).astype(jnp.uint8)
     count = ((ans >> U32(17)) & U32(0x7FFF)).astype(I32)
-    return found, count, left, right
+    return found, count, left, right, oidx.astype(I32)

@@ -1,0 +1,49 @@
+"""Background memory tracker (reference upcxx-utils mem_profile.cpp:74-143).
+
+Samples free memory from /proc/meminfo on a thread and logs swings larger
+than a threshold to a tracker file, like the reference's MemoryTrackerThread.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+def get_free_mem_bytes() -> int:
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("MemAvailable:"):
+                return int(line.split()[1]) * 1024
+    return 0
+
+
+class MemoryTracker:
+    def __init__(self, log_path: str, interval_s: float = 2.0, swing_bytes: int = 1 << 30):
+        self.log_path = log_path
+        self.interval_s = interval_s
+        self.swing_bytes = swing_bytes
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _run(self):
+        last = get_free_mem_bytes()
+        with open(self.log_path, "a") as f:
+            f.write(f"{time.time():.1f} start free={last}\n")
+            f.flush()
+            while not self._stop.wait(self.interval_s):
+                cur = get_free_mem_bytes()
+                if abs(cur - last) >= self.swing_bytes:
+                    f.write(f"{time.time():.1f} free={cur} delta={cur - last}\n")
+                    f.flush()
+                    last = cur
+            f.write(f"{time.time():.1f} stop free={get_free_mem_bytes()}\n")
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

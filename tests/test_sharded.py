@@ -75,7 +75,7 @@ def test_sharded_lookup_roundtrip(rng, mesh):
     Q = int(np.asarray(table.n).max())
     qw = np.roll(np.asarray(table.words[:, :Q]), 1, axis=0)
     qv = np.roll(np.asarray((np.arange(Q)[None, :] < np.asarray(table.n)[:, None])), 1, axis=0)
-    found, count, left, right = sharded_lookup(table, jnp.asarray(qw), jnp.asarray(qv))
+    found, count, left, right, oidx = sharded_lookup(table, jnp.asarray(qw), jnp.asarray(qv))
     found = np.asarray(found)
     assert found[qv].all()
     # counts/exts must match the owning shard's table
@@ -86,5 +86,82 @@ def test_sharded_lookup_roundtrip(rng, mesh):
     # missing kmers must come back not-found
     miss = np.asarray(table.words[:, :Q]).copy()
     miss[..., -1] ^= 0x5A5A0000  # corrupt trailing bits -> almost surely absent
-    f2, _, _, _ = sharded_lookup(table, jnp.asarray(np.roll(miss, 1, axis=0)), jnp.asarray(qv))
+    f2, _, _, _, _ = sharded_lookup(table, jnp.asarray(np.roll(miss, 1, axis=0)), jnp.asarray(qv))
     assert np.asarray(f2)[qv].mean() < 0.05
+
+
+def test_sharded_traversal_matches_single(rng, mesh):
+    """Multi-shard traversal == single-store traversal (same reads)."""
+    from mhm2_proxy_tpu.dbjg import traverse_debruijn_graph, traverse_debruijn_graph_sharded
+
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=600))
+    reads = []
+    for _ in range(160):
+        s = int(rng.integers(0, 600 - 64))
+        reads.append((genome[s : s + 64], chr(33 + 38) * 64))
+
+    codes, qual_ok, lens = reads_to_block(reads, B=160, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=8192)
+    counter.add_reads_block(codes, qual_ok, lens)
+    table = counter.finalize()
+    got = traverse_debruijn_graph_sharded(table, k)
+
+    store = KmerCountStore(k)
+    store.add_reads_block(codes, qual_ok, lens)
+    exp = traverse_debruijn_graph(store.finalize(), k)
+
+    norm = lambda cs: sorted((s, round(d, 9)) for s, d in cs)
+    assert norm(got) == norm(exp)
+
+
+def test_sharded_ctg_pass_matches_single(rng, mesh):
+    """Sharded round-2 (ctg kmers) == single-store round-2."""
+    from mhm2_proxy_tpu.ops.bitkmer import ascii_to_codes
+
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=500))
+    reads = []
+    for _ in range(160):
+        s = int(rng.integers(0, 500 - 64))
+        reads.append((genome[s : s + 64], chr(33 + 38) * 64))
+    ctgs = [(genome[100:300], 9), ("".join(rng.choice(list("ACGT"), size=120)), 4)]
+
+    codes, qual_ok, lens = reads_to_block(reads, B=160, L=64)
+    ccodes = np.full((8, 256), 4, np.uint8)
+    clens = np.zeros((8,), np.int32)
+    cdeps = np.zeros((8,), np.int32)
+    for i, (cs, d) in enumerate(ctgs):
+        ccodes[i, : len(cs)] = ascii_to_codes(cs.encode())
+        clens[i] = len(cs)
+        cdeps[i] = d
+
+    counter = ShardedCounter(k, mesh, bucket_cap=8192)
+    counter.add_reads_block(codes, qual_ok, lens)
+    counter.add_ctgs_block(ccodes, clens, cdeps)
+    table = counter.finalize()
+    got = {}
+    for ft in table.shard_tables():
+        got.update(ft.to_host_dict())
+
+    exp = count_kmers_oracle(reads, k, ctgs=ctgs)
+    assert got == exp
+
+
+def test_sharded_assembler_end_to_end(rng, mesh):
+    """Full two-round assembly with the sharded backend == single backend."""
+    from mhm2_proxy_tpu.models import Assembler, AssemblerConfig
+    from mhm2_proxy_tpu.utils.synth import random_genome, simulate_reads
+
+    genome = random_genome(rng, 2000)
+    ids, seqs, quals = simulate_reads(rng, genome, coverage=20.0, read_len=80, err_rate=0.002)
+
+    def run(n_shards):
+        cfg = AssemblerConfig(kmer_lens=(21, 33), block_reads=256, n_shards=n_shards, bucket_cap=16384)
+        asm = Assembler(cfg)
+        asm.add_interleaved(seqs, quals)
+        return asm.run()
+
+    single = run(0)
+    sharded = run(8)
+    assert sorted(c.seq for c in sharded) == sorted(c.seq for c in single)

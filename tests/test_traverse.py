@@ -84,3 +84,33 @@ def test_short_everything(rng):
     reads = [("ACGTACGTACGTACGTACGTACGTA", chr(71) * 25)] * 3
     got, exp = run_both(reads, k)
     assert got == exp
+
+
+def test_stitch_doubling_equals_walker(rng):
+    """Pointer-doubling stitcher == sequential walker on varied graphs."""
+    from mhm2_proxy_tpu.kcount import KmerCountStore
+    from mhm2_proxy_tpu.dbjg.traverse import build_edges, stitch_paths_walk
+    from mhm2_proxy_tpu.dbjg.stitch import stitch_paths
+
+    k = 21
+    for kind in ("linear", "fork", "cycle"):
+        if kind == "linear":
+            genome = "".join(rng.choice(list("ACGT"), size=400))
+        elif kind == "fork":
+            core = "".join(rng.choice(list("ACGT"), size=80))
+            genome = (
+                "".join(rng.choice(list("ACGT"), size=120)) + core
+                + "".join(rng.choice(list("ACGT"), size=120))
+            )
+        else:
+            g = "".join(rng.choice(list("ACGT"), size=150))
+            genome = g + g[: k + 30]
+        reads = coverage_reads(genome, k, rng, n=150)
+        store = KmerCountStore(k)
+        codes, qual_ok, lens = reads_to_block(reads)
+        store.add_reads_block(codes, qual_ok, lens)
+        t = store.finalize()
+        edges = build_edges(t.words, t.count, t.left, t.right, t.n, k)
+        a = sorted((s, round(d, 9)) for s, d in stitch_paths(edges, t.words, t.count, k))
+        b = sorted((s, round(d, 9)) for s, d in stitch_paths_walk(edges, t.words, t.count, k))
+        assert a == b, kind
