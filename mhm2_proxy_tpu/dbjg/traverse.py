@@ -78,10 +78,30 @@ def build_edges(words, count, left, right, n, k: int):
     l_ok = uu & p_found & p_uu & (p_right_or == a_last.astype(jnp.uint8)) & (p_idx != self_idx)
     l_port = jnp.where(p_rc, jnp.int32(0), jnp.int32(1))  # entry port on P
 
+    # walk-termination classification per side (reference WalkTermStats,
+    # dbjg_traversal.cpp:114-141): for UU kmers whose side has no edge,
+    # record why the walk would have stopped there.
+    def _term(found, n_uu, n_left, n_right, ok, self_hit):
+        missing = uu & ~found
+        deadend = uu & found & ((n_left == 5) | (n_right == 5))
+        fork = uu & found & ~deadend & ((n_left == 4) | (n_right == 4))
+        conflict = uu & found & n_uu & ~ok & ~self_hit
+        repeat = uu & found & self_hit
+        return (
+            (missing | deadend).astype(jnp.int32).sum()
+            , fork.astype(jnp.int32).sum()
+            , conflict.astype(jnp.int32).sum()
+            , repeat.astype(jnp.int32).sum()
+        )
+
+    r_stats = _term(b_found, b_uu, b_left, b_right, r_ok, b_idx == self_idx)
+    l_stats = _term(p_found, p_uu, p_left, p_right, l_ok, p_idx == self_idx)
+
     return dict(
         uu=uu,
         r_idx=b_idx, r_port=r_port, r_ok=r_ok,
         l_idx=p_idx, l_port=l_port, l_ok=l_ok,
+        term_stats=jnp.stack([jnp.stack(r_stats), jnp.stack(l_stats)]),
     )
 
 

@@ -120,7 +120,7 @@ class KmerCountStore:
         if not self.runs:
             W = words32_for_k(self.k)
             z = jnp.full((1, W), 0xFFFFFFFF, jnp.uint32)
-            return (z, jnp.zeros((1,), I64), jnp.zeros((1, 4), I64), jnp.zeros((1, 4), I64), jnp.int32(0))
+            return (z, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32), jnp.int32(0))
         return self.runs[0]
 
     def _merged_ctgs(self):
@@ -214,16 +214,16 @@ def _apply_ctg_rules(
     """
     # resolve ctg entries
     conflict = c_pmin != c_pmax
-    c_count = jnp.where(conflict, 0, jnp.clip(c_dmin, 0, MAX_KMER_COUNT)).astype(I64)
+    c_count = jnp.where(conflict, 0, jnp.clip(c_dmin, 0, MAX_KMER_COUNT)).astype(jnp.int32)
     c_left = jnp.where(conflict, jnp.int32(EXT_X), c_pmin // 8).astype(jnp.uint8)
     c_right = jnp.where(conflict, jnp.int32(EXT_X), c_pmin % 8).astype(jnp.uint8)
     c_valid = jnp.arange(c_words.shape[0]) < c_n
-    oh = lambda e, cnt: (e[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :].astype(e.dtype)).astype(I64) * cnt[:, None]
+    oh = lambda e, cnt: (e[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :].astype(e.dtype)).astype(jnp.int32) * cnt[:, None]
     c_l4 = oh(c_left, c_count)
     c_r4 = oh(c_right, c_count)
 
     # read-entry survival: UU with clamped count >= 2
-    rc = jnp.minimum(r_count, I64(MAX_KMER_COUNT))
+    rc = jnp.minimum(r_count.astype(I64), I64(MAX_KMER_COUNT))
     r_lcall = C._get_ext_calls(jnp.minimum(r_l4, I64(MAX_KMER_COUNT)), rc, dmin_thres)
     r_rcall = C._get_ext_calls(jnp.minimum(r_r4, I64(MAX_KMER_COUNT)), rc, dmin_thres)
     r_valid = jnp.arange(r_words.shape[0]) < r_n
@@ -256,9 +256,9 @@ def _apply_ctg_rules(
     sel_read = is_read & use_read[seg]
     sel_ctg = is_ctg & ~use_read[seg]
     sel = sel_read | sel_ctg
-    g_count = jax.ops.segment_sum(jnp.where(sel, count, 0), seg, num_segments=N)
-    g_l4 = jax.ops.segment_sum(jnp.where(sel[:, None], l4, 0), seg, num_segments=N)
-    g_r4 = jax.ops.segment_sum(jnp.where(sel[:, None], r4, 0), seg, num_segments=N)
+    g_count = jnp.minimum(jax.ops.segment_sum(jnp.where(sel, count, 0), seg, num_segments=N), MAX_KMER_COUNT)
+    g_l4 = jnp.minimum(jax.ops.segment_sum(jnp.where(sel[:, None], l4, 0), seg, num_segments=N), MAX_KMER_COUNT)
+    g_r4 = jnp.minimum(jax.ops.segment_sum(jnp.where(sel[:, None], r4, 0), seg, num_segments=N), MAX_KMER_COUNT)
     first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
     n_groups = seg[-1] + 1
     in_range = jnp.arange(N) < n_groups

@@ -233,6 +233,7 @@ class Assembler:
         self.log.info(
             f"k={k}: traversal -> {len(self.contigs)} contigs in {time.time()-t1:.1f}s"
         )
+        self.log.debug(f"k={k}: walk terminations (deadend/fork/conflict/repeat)")
         if cfg.checkpoint:
             write_fasta(
                 f"{cfg.output_dir}/contigs-{k}.fasta",

@@ -5,8 +5,10 @@ This replaces the reference's CAS/probing hash tables
 with a deterministic TPU-friendly formulation: flatten (kmer, left_ext,
 right_ext, count) records, lexsort by the packed key words, and segment-sum
 counts and per-base extension one-hots. Saturating uint16 accumulation of
-nonnegative increments equals clamping the exact sum, so we accumulate in
-int64 and clamp once at finalization.
+nonnegative increments equals clamping the exact sum, so every segmented sum
+clamps to the uint16 ceiling immediately — int32 payloads halve the sort
+bandwidth vs int64 and stay exact (per-reduce partial sums are bounded well
+below 2^31: read records carry count 1 and contig depths are pre-clamped).
 """
 
 from __future__ import annotations
@@ -105,14 +107,16 @@ def _dedup_sorted(words, count, l4, r4):
 
     Returns same-shape arrays with unique rows compacted to the front
     (sentinel rows group at the end), plus n_unique (excluding sentinels).
+    Counts saturate at the uint16 ceiling (reference kmer_count_t semantics,
+    kcount_cpu.cpp:152-155) after every reduce.
     """
     N, W = words.shape
     neq = jnp.any(words[1:] != words[:-1], axis=-1)
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     seg = jnp.cumsum(is_start) - 1  # (N,) segment ids, 0-based
-    u_count = jax.ops.segment_sum(count, seg, num_segments=N)
-    u_l4 = jax.ops.segment_sum(l4, seg, num_segments=N)
-    u_r4 = jax.ops.segment_sum(r4, seg, num_segments=N)
+    u_count = jnp.minimum(jax.ops.segment_sum(count, seg, num_segments=N), MAX_KMER_COUNT)
+    u_l4 = jnp.minimum(jax.ops.segment_sum(l4, seg, num_segments=N), MAX_KMER_COUNT)
+    u_r4 = jnp.minimum(jax.ops.segment_sum(r4, seg, num_segments=N), MAX_KMER_COUNT)
     first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
     n_groups = seg[-1] + 1
     first_idx = jnp.where(jnp.arange(N) < n_groups, first_idx, 0)
@@ -125,8 +129,8 @@ def _dedup_sorted(words, count, l4, r4):
 
 def _ext_onehot(ext, count):
     """(N,) ext codes + counts -> (N, 4) one-hot counts; codes >= 4 ignored."""
-    oh = (ext[:, None] == jnp.arange(4, dtype=ext.dtype)[None, :]).astype(I64)
-    return oh * count[:, None].astype(I64)
+    oh = (ext[:, None] == jnp.arange(4, dtype=ext.dtype)[None, :]).astype(jnp.int32)
+    return oh * count[:, None].astype(jnp.int32)
 
 
 @jax.jit
@@ -136,7 +140,7 @@ def aggregate_records(words, left, right, count, valid):
     Returns (u_words, u_count i64, u_l4 (N,4) i64, u_r4, n_unique).
     """
     w = _sentinelize(words, valid)
-    cnt = jnp.where(valid, count, 0).astype(I64)
+    cnt = jnp.where(valid, count, 0).astype(jnp.int32)
     l4 = _ext_onehot(left, cnt)
     r4 = _ext_onehot(right, cnt)
     w, cnt, l4, r4 = _lexsort_rows(w, cnt, l4, r4)
@@ -190,9 +194,9 @@ def finalize_table(u_words, u_count, u_l4, u_r4, n_unique, dmin_thres: int = 2):
     Returns (words, count u16->i32, left u8, right u8, n_kept).
     """
     N = u_words.shape[0]
-    count = jnp.minimum(u_count, I64(MAX_KMER_COUNT))
-    l4 = jnp.minimum(u_l4, I64(MAX_KMER_COUNT))
-    r4 = jnp.minimum(u_r4, I64(MAX_KMER_COUNT))
+    count = jnp.minimum(u_count.astype(I64), I64(MAX_KMER_COUNT))
+    l4 = jnp.minimum(u_l4.astype(I64), I64(MAX_KMER_COUNT))
+    r4 = jnp.minimum(u_r4.astype(I64), I64(MAX_KMER_COUNT))
     left = _get_ext_calls(l4, count, dmin_thres)
     right = _get_ext_calls(r4, count, dmin_thres)
     row_valid = jnp.arange(N) < n_unique
