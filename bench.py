@@ -21,6 +21,9 @@ BASELINE_KMERS_PER_SEC = 10e6
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mhm2_proxy_tpu.ops import count as C
     from mhm2_proxy_tpu.constants import minimizer_len_for_k

@@ -62,7 +62,11 @@ def run_pipeline(opts: Options) -> Assembler:
                 r = FastqReader(fname)
                 asm.add_unpaired(r.seqs, r.quals)
         log.info(f"[module] merge_reads {time.time()-t0:.2f}s")
+        if opts.checkpoint_merged:
+            asm.dump_merged_reads(os.path.join(out_dir, "reads-merged.fastq.gz"))
+            log.info("[checkpoint] wrote reads-merged.fastq.gz")
 
+        profiled = False
         for k in opts.kmer_lens:
             ckpt = os.path.join(out_dir, f"contigs-{k}.fasta")
             if opts.restart and os.path.exists(ckpt):
@@ -70,10 +74,31 @@ def run_pipeline(opts: Options) -> Assembler:
                 log.info(f"[restart] skipping k={k}, loaded {len(asm.contigs)} contigs from {ckpt}")
                 continue
             t0 = time.time()
-            asm.run_round(k)
+            if opts.profile and not profiled:
+                import jax
+
+                with jax.profiler.trace(os.path.join(out_dir, "profile")):
+                    asm.run_round(k)
+                profiled = True
+                log.info(f"[profile] trace written to {out_dir}/profile")
+            else:
+                asm.run_round(k)
             log.info(f"[module] contigging k={k} {time.time()-t0:.2f}s")
 
         asm.dump_contigs(os.path.join(out_dir, "final_assembly.fasta"))
+        if opts.gfa:
+            from .io.gfa import write_gfa2
+
+            n_edges = write_gfa2(
+                os.path.join(out_dir, "final_assembly.gfa2"),
+                [(c.id, c.seq, c.depth) for c in asm.contigs if len(c.seq) >= opts.min_ctg_print_len],
+                max(opts.kmer_lens),
+            )
+            log.info(f"[gfa] wrote final_assembly.gfa2 with {n_edges} edges")
+        if opts.post_asm_align:
+            from .models.post_asm import post_asm_align_stats
+
+            post_asm_align_stats(asm)
         asm.print_stats()
         log.info("Finished")
     finally:

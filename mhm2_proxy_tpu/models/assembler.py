@@ -157,6 +157,25 @@ class Assembler:
         self._n_pairs = getattr(self, "_n_pairs", 0) + int(((l1 > 0) & (l2 > 0)).sum())
         self.log.debug(f"Merged {mi.size}/{(l1 > 0).sum()} pairs in block")
 
+    def dump_merged_reads(self, fname: str):
+        """Write the merged/packed read set as FASTQ (reference
+        --checkpoint-merged, merged fname convention utils.cpp:154-161)."""
+        import gzip
+
+        lut = np.frombuffer(b"ACGTN", np.uint8)
+        opener = gzip.open if fname.endswith(".gz") else open
+        rid = 0
+        with opener(fname, "wb") as f:
+            for codes, quals, lens in self.packed_reads.blocks(4096):
+                for i in range(codes.shape[0]):
+                    n = int(lens[i])
+                    if n == 0:
+                        continue
+                    f.write(b"@r" + str(rid).encode() + b"\n")
+                    f.write(lut[codes[i, :n]].tobytes() + b"\n+\n")
+                    f.write(quals[i, :n].tobytes() + b"\n")
+                    rid += 1
+
     # -- contigging rounds -------------------------------------------------
 
     def _make_store(self, k: int):

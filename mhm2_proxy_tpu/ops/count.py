@@ -170,11 +170,12 @@ def _get_ext_calls(c4, count, dmin_thres):
     top_code = (top_key % 4).astype(jnp.uint8)
     top_cnt = top_key // 4
     runner_cnt = jnp.max(jnp.where(key == top_key[:, None], I64(-1), key), axis=-1) // 4
-    # dmin_dyn = max((int)((1.0-0.9)*count), dmin_thres) in double precision
-    dmin_dyn = jnp.maximum(
-        jnp.floor(jnp.float64(1.0 - 0.9) * count.astype(jnp.float64)).astype(I64),
-        I64(dmin_thres),
-    )
+    # dmin_dyn = max((int)((1.0-0.9)*count), dmin_thres). The reference
+    # computes this in double precision where 1.0-0.9 is slightly BELOW 0.1;
+    # for integer count in [0, 65535] that truncation equals the pure-integer
+    # form ceil(count/10)-1 (verified exhaustively in tests), keeping float64
+    # out of the TPU path.
+    dmin_dyn = jnp.maximum((count + 9) // 10 - 1, I64(dmin_thres))
     call = jnp.where(
         top_cnt < dmin_dyn,
         jnp.uint8(EXT_X),

@@ -32,6 +32,9 @@ class Options:
     block_reads: int = 4096
     shards: int = 0
     verbose: bool = False
+    gfa: bool = False
+    profile: bool = False
+    post_asm_align: bool = False
 
     def save(self, fname: str):
         with open(fname, "w") as f:
@@ -70,6 +73,11 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--block-reads", type=int, default=4096)
     p.add_argument("--shards", type=int, default=0,
                    help=">0: shard counting/traversal over this many devices")
+    p.add_argument("--gfa", action="store_true", help="write final_assembly.gfa2")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax profiler trace of the first round")
+    p.add_argument("--post-asm-align", action="store_true",
+                   help="align sampled reads back to the final assembly")
     p.add_argument("--config", default=None, help="load options from a config file")
     p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
@@ -99,6 +107,9 @@ def parse_args(argv=None) -> Options:
         block_reads=a.block_reads,
         shards=a.shards,
         verbose=a.verbose,
+        gfa=a.gfa,
+        profile=a.profile,
+        post_asm_align=a.post_asm_align,
     )
 
 

@@ -17,6 +17,9 @@ import numpy as np  # noqa: E402
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from mhm2_proxy_tpu.kcount import KmerCountStore
     from mhm2_proxy_tpu.dbjg import traverse_debruijn_graph
     from mhm2_proxy_tpu.dbjg.traverse import build_edges, _pad_pow2

@@ -22,6 +22,9 @@ def log(msg):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mhm2_proxy_tpu.ops import count as C
     from mhm2_proxy_tpu.constants import minimizer_len_for_k

@@ -114,3 +114,28 @@ def test_native_fastq_matches_python(rng, tmp_path):
     # resync agreement at arbitrary offsets
     for off in [0, 1, 7, len(buf) // 3, len(buf) // 2]:
         assert native.resync(buf, off) == _resync_offset(buf, off)
+
+
+def test_gfa_and_post_asm_options(rng, tmp_path):
+    genome, fq = make_data(rng, tmp_path, n=1500)
+    out = str(tmp_path / "gfarun")
+    opts = Options(reads=[fq], kmer_lens=[21], output_dir=out, block_reads=512)
+    opts.gfa = True
+    opts.post_asm_align = True
+    run_pipeline(opts)
+    gfa = open(f"{out}/final_assembly.gfa2").read().splitlines()
+    assert gfa[0].startswith("H\tVN:Z:2.0")
+    assert any(l.startswith("S\t") for l in gfa)
+
+
+def test_checkpoint_merged(rng, tmp_path):
+    genome, fq = make_data(rng, tmp_path, n=1000)
+    out = str(tmp_path / "cm")
+    opts = Options(reads=[fq], kmer_lens=[21], output_dir=out, block_reads=512)
+    opts.checkpoint_merged = True
+    asm = run_pipeline(opts)
+    from mhm2_proxy_tpu.io.fastq import read_fastq
+
+    ids, seqs, quals = read_fastq(f"{out}/reads-merged.fastq.gz")
+    assert len(seqs) == len(asm.packed_reads)
+    assert sum(len(s) for s in seqs) == asm.packed_reads.total_bases

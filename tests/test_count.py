@@ -152,3 +152,14 @@ def test_saturation():
     assert len(got) == 1
     (cnt, l, r) = next(iter(got.values()))
     assert cnt == 200
+
+
+def test_dmin_integer_form_matches_reference_double():
+    """ceil(c/10)-1 == trunc((1.0-0.9)*c) for every uint16 count."""
+    import numpy as np
+
+    c = np.arange(0, 65536, dtype=np.int64)
+    ref = ((1.0 - 0.9) * c.astype(np.float64)).astype(np.int64)
+    ours = np.maximum((c + 9) // 10 - 1, 0)
+    ref = np.maximum(ref, 0)
+    assert (ref == ours).all()
