@@ -33,6 +33,7 @@ from ..kcount.kmer_store import (
     _apply_ctg_rules,
 )
 from ..ops.lookup import table_lookup
+from ..ops.supermer import build_supermers, expand_supermers, supermer_layout
 
 I32 = jnp.int32
 I64 = jnp.int64
@@ -96,7 +97,10 @@ class ShardedCounter:
     all arrays carry a leading shard axis sharded over the mesh.
     """
 
-    def __init__(self, k: int, mesh: Mesh, dmin_thres: int = 2, bucket_cap: int | None = None):
+    def __init__(self, k: int, mesh: Mesh, dmin_thres: int = 2, bucket_cap: int | None = None,
+                 use_supermers: bool = True, smax: int = 24):
+        self.use_supermers = use_supermers
+        self.smax = smax
         self.k = k
         self.m = minimizer_len_for_k(k)
         self.mesh = mesh
@@ -118,6 +122,8 @@ class ShardedCounter:
         )
 
     def _build_count_step(self, B, L, cap, ctg_mode: bool):
+        if self.use_supermers:
+            return self._build_supermer_step(B, L, cap, ctg_mode)
         k, m, S = self.k, self.m, self.S
         W = words32_for_k(k)
         mesh = self.mesh
@@ -154,6 +160,58 @@ class ShardedCounter:
 
         return step
 
+    def _build_supermer_step(self, B, L, cap, ctg_mode: bool):
+        """Supermer-compressed exchange: ~smax x less all-to-all volume.
+
+        The reference's supermer aggregation (kcount_cpu.cpp:84-103) expressed
+        as fixed-capacity packed records; the receiver replays the standard
+        counting path over the unpacked windows.
+        """
+        k, m, S, smax = self.k, self.m, self.S, self.smax
+        mesh = self.mesh
+        nb, cw, mw, rw = supermer_layout(k, smax)
+
+        def per_device(codes, qual_ok, lens, depth):
+            sup = build_supermers(
+                codes, qual_ok, lens, k, m, smax, S,
+                depth=depth if ctg_mode else None,
+            )
+            buckets, dropped = _bucketize(sup["records"], sup["target"], sup["valid"], S, cap)
+            recv = jax.lax.all_to_all(buckets, "shards", split_axis=0, concat_axis=0, tiled=True)
+            return recv.reshape(S * cap, rw), dropped[None]
+
+        fn = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P("shards"),) * 4,
+            out_specs=(P("shards"), P("shards")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(codes, qual_ok, lens, depth):
+            payloads, dropped = fn(codes, qual_ok, lens, depth)
+            pl = payloads.reshape(self.S, self.S * cap, rw)
+
+            def expand_and_agg(recs):
+                s_codes, s_qok, s_lens, s_depth = expand_supermers(recs, k, smax)
+                rec = C.read_kmer_records(
+                    s_codes, s_qok, s_lens, k, m, n_shards=1,
+                    depth=s_depth if ctg_mode else None,
+                )
+                if ctg_mode:
+                    return _aggregate_ctg_records(
+                        rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+                    )
+                return C.aggregate_records(
+                    rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+                )
+
+            agg = jax.vmap(expand_and_agg)(pl)
+            return agg, jnp.sum(dropped)
+
+        return step
+
     def add_reads_block(self, codes, qual_ok, lens):
         """codes: (S*B, L) global arrays sharded over devices on axis 0."""
         self._add_block(codes, qual_ok, lens, None)
@@ -168,7 +226,15 @@ class ShardedCounter:
         SB, L = np.asarray(codes).shape
         B = SB // self.S
         P_ = L - self.k + 1
-        cap = self.bucket_cap or max(256, int(B * P_ // max(self.S, 1) * 2))
+        # bucket_cap is in KMERS; the supermer path converts to records
+        if self.bucket_cap:
+            kmer_cap = self.bucket_cap
+        else:
+            kmer_cap = max(256, int(B * P_ // max(self.S, 1) * 2))
+        if self.use_supermers:
+            cap = max(64, kmer_cap // self.smax * 3)
+        else:
+            cap = kmer_cap
         key = (B, L, cap, ctg_mode)
         steps = self._count_steps
         if key not in steps:

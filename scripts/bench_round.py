@@ -26,7 +26,7 @@ def main():
 
     k = 21
     B, L = 4096, 160
-    n_blocks = 8
+    n_blocks = 4
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, 2_000_000, dtype=np.uint8)
     blocks = []
@@ -38,22 +38,21 @@ def main():
         blocks.append((codes, qual_ok, lens))
 
     print(f"platform: {jax.devices()[0].platform}", file=sys.stderr)
-    # warmup: compile every stage on one block
-    store = KmerCountStore(k)
-    store.add_reads_block(*blocks[0])
-    t = store.finalize()
-    tbl = _pad_pow2(t)
-    e = build_edges(tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
-    jax.block_until_ready(e)
 
+    def one_round():
+        store = KmerCountStore(k)
+        for b in blocks:
+            store.add_reads_block(*b)
+        table = store.finalize()
+        tbl = _pad_pow2(table)
+        edges = build_edges(tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
+        jax.block_until_ready(edges)
+        return table
+
+    # warmup compiles every shape of the identical timed pass
+    one_round()
     t0 = time.perf_counter()
-    store = KmerCountStore(k)
-    for b in blocks:
-        store.add_reads_block(*b)
-    table = store.finalize()
-    tbl = _pad_pow2(table)
-    edges = build_edges(tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
-    jax.block_until_ready(edges)
+    table = one_round()
     dt = time.perf_counter() - t0
 
     kmers = n_blocks * B * (L - k - 1)
