@@ -55,7 +55,7 @@ def main():
     w, n = step(codes_d, qual_ok_d, lens_d)
     w.block_until_ready()
 
-    iters = 10
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         w, n = step(codes_d, qual_ok_d, lens_d)
