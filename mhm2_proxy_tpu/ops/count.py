@@ -30,8 +30,9 @@ I64 = jnp.int64
 U32 = jnp.uint32
 
 
-@partial(jax.jit, static_argnames=("k", "m", "n_shards"))
-def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, depth=None):
+@partial(jax.jit, static_argnames=("k", "m", "n_shards", "use_pallas"))
+def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, depth=None,
+                      use_pallas: bool = False):
     """Extract count records from a block of sequences.
 
     codes: (B, L) uint8 base codes (0-3, 4=N); qual_ok: (B, L) bool (phred >=
@@ -66,8 +67,15 @@ def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, d
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = (pos >= 1) & (pos <= lens[:, None] - k - 1)
 
-    minz = minimizers_from_codes(codes, k, m)
-    target = (quick_hash_u64(minz) % jnp.uint64(n_shards)).astype(jnp.int32)
+    if use_pallas:
+        # u32-pair Pallas kernel (ops/pallas_minimizer.py): same bits, no
+        # uint64 emulation on TPU
+        from .pallas_minimizer import pallas_minimizer_targets
+
+        target = pallas_minimizer_targets(codes, k, m, n_shards)
+    else:
+        minz = minimizers_from_codes(codes, k, m)
+        target = (quick_hash_u64(minz) % jnp.uint64(n_shards)).astype(jnp.int32)
 
     if depth is None:
         count = jnp.ones((B, P), jnp.int32)
