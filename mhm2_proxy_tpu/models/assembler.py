@@ -20,7 +20,7 @@ from ..constants import (
     DEFAULT_DMIN_THRES,
     QUAL_CUTOFF,
 )
-from ..io.fastq import FastqReader, split_paired_fname
+from ..io.fastq import split_paired_fname
 from ..io.fasta import write_fasta
 from ..io.merge import merge_reads_arrays
 from ..io.reads import PackedReads

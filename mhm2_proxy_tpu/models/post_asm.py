@@ -12,10 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import minimizer_len_for_k
-from ..kcount import KmerCountStore
 from ..ops import bitkmer as bk
-from ..ops.count import read_kmer_records
 from ..ops.lookup import table_lookup
 from ..ops.ssw import sw_align
 

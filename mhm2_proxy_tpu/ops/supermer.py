@@ -25,8 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import MAX_KMER_COUNT
-from .bitkmer import _pack16  # same MSB-first packing convention
-from .count import read_kmer_records
 
 I32 = jnp.int32
 U32 = jnp.uint32

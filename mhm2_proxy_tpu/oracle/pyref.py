@@ -7,8 +7,6 @@ as test oracles; nothing here runs in the production path.
 
 from __future__ import annotations
 
-import math
-
 M64 = (1 << 64) - 1
 
 BASE_CODE = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 2}  # N packs as G (kmer.cpp:169 note)
