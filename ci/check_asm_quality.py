@@ -9,14 +9,55 @@ known reference genomes, and diff each metric against a golden file within
 --threshold (default 0.01 relative).
 
 Metrics: contigs counts/lengths (N50/L50/largest/total), genome fraction
-(reference 31-mers covered by contigs), duplication ratio, and mismatch rate
-estimated from contig-vs-genome anchor alignment.
+(reference 31-mers covered by contigs), duplication ratio, mismatch rate
+estimated from contig-vs-genome anchor alignment, and a misassembly count
+(split-contig anchor check: consecutive contig anchors must map to the same
+genome, same orientation, at consistent offsets — the metaquast-misassembly
+analog, reference ci/good-arctic-sample0.txt:24).
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def misassembly_count(contigs: list[str], genomes: list[str], K: int = 31,
+                      anchor_step: int = 200, tol: int = 50, min_len: int = 500) -> int:
+    """Count contigs breaks: anchor pairs with inconsistent genome placement.
+
+    Anchors are unique reference K-mers sampled every anchor_step bases along
+    each contig; a misassembly is charged whenever two consecutive anchors
+    land on different genomes, flip orientation, or shift offset by > tol.
+    """
+    from mhm2_proxy_tpu.oracle.pyref import revcomp_str
+
+    index: dict[str, tuple | None] = {}
+    for gi, g in enumerate(genomes):
+        for i in range(len(g) - K + 1):
+            km = g[i : i + K]
+            ckm = min(km, revcomp_str(km))
+            index[ckm] = None if ckm in index else (gi, i, ckm == km)
+    mis = 0
+    for c in contigs:
+        if len(c) < min_len:
+            continue
+        anchors = []
+        for i in range(0, len(c) - K + 1, anchor_step):
+            km = c[i : i + K]
+            ckm = min(km, revcomp_str(km))
+            hit = index.get(ckm)
+            if hit is not None:
+                gi, p, g_fwd = hit
+                anchors.append((i, gi, p, (km == ckm) == g_fwd))
+        for (i1, g1, p1, f1), (i2, g2, p2, f2) in zip(anchors, anchors[1:]):
+            if g1 != g2 or f1 != f2:
+                mis += 1
+                continue
+            delta = (p2 - p1) if f1 else (p1 - p2)
+            if abs(delta - (i2 - i1)) > tol:
+                mis += 1
+    return mis
 
 
 def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
@@ -66,6 +107,7 @@ def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
         "genome_fraction": round(genome_fraction, 3),
         "duplication_ratio": round(dup_ratio, 4),
         "unaligned_kmers_per_100kbp": round(1e5 * mismatch_proxy / max(total, 1), 2),
+        "misassemblies": misassembly_count(contigs, genomes, min_len=min_len),
     }
 
 

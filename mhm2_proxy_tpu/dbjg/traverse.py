@@ -234,10 +234,24 @@ def _pad_pow2(table):
     return dataclasses.replace(table, words=words, count=count, left=left, right=right)
 
 
-def traverse_debruijn_graph(table, k: int):
-    """Full traversal of a FinalTable -> list of (seq, depth)."""
+def term_stats_to_dict(term_stats) -> dict:
+    """(2, 4) [right/left walk][deadend, fork, conflict, repeat] -> dict.
+
+    The reference prints these per traversal (WalkTermStats::print_stats,
+    dbjg_traversal.cpp:128-141)."""
+    ts = np.asarray(term_stats).sum(axis=0)
+    return dict(deadend=int(ts[0]), fork=int(ts[1]), conflict=int(ts[2]), repeat=int(ts[3]))
+
+
+def traverse_debruijn_graph(table, k: int, stats: dict | None = None):
+    """Full traversal of a FinalTable -> list of (seq, depth).
+
+    If `stats` is a dict, it is filled with walk-termination counts
+    (deadend/fork/conflict/repeat, reference dbjg_traversal.cpp:128-141)."""
     from .stitch import stitch_paths
 
     table = _pad_pow2(table)
     edges = build_edges(table.words, table.count, table.left, table.right, table.n, k)
+    if stats is not None:
+        stats["terminations"] = term_stats_to_dict(edges["term_stats"])
     return stitch_paths(edges, table.words, table.count, k)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bitkmer as bk
-from ..parallel.sharded import ShardedTable, sharded_lookup
+from ..parallel.sharded import ShardedTable, sharded_lookup, device_get_global
 from .stitch import stitch_paths
 
 I32 = jnp.int32
@@ -71,17 +71,17 @@ def build_edges_sharded(table: ShardedTable, k: int):
         p_shard = owner_shards(p_can)
 
     # pull to host and evaluate edge conditions globally
-    uu = np.asarray(jax.device_get(uu))
-    b_rc = np.asarray(jax.device_get(b_rc))
-    p_rc = np.asarray(jax.device_get(p_rc))
-    a_first = np.asarray(jax.device_get(a_first)).astype(np.uint8)
-    a_last = np.asarray(jax.device_get(a_last)).astype(np.uint8)
-    r_found = np.asarray(jax.device_get(r_found))
-    l_found = np.asarray(jax.device_get(l_found))
-    b_left, b_right = np.asarray(jax.device_get(b_left)), np.asarray(jax.device_get(b_right))
-    p_left, p_right = np.asarray(jax.device_get(p_left)), np.asarray(jax.device_get(p_right))
-    b_idx, p_idx = np.asarray(jax.device_get(b_idx)), np.asarray(jax.device_get(p_idx))
-    b_shard, p_shard = np.asarray(jax.device_get(b_shard)), np.asarray(jax.device_get(p_shard))
+    uu = np.asarray(device_get_global(uu))
+    b_rc = np.asarray(device_get_global(b_rc))
+    p_rc = np.asarray(device_get_global(p_rc))
+    a_first = np.asarray(device_get_global(a_first)).astype(np.uint8)
+    a_last = np.asarray(device_get_global(a_last)).astype(np.uint8)
+    r_found = np.asarray(device_get_global(r_found))
+    l_found = np.asarray(device_get_global(l_found))
+    b_left, b_right = np.asarray(device_get_global(b_left)), np.asarray(device_get_global(b_right))
+    p_left, p_right = np.asarray(device_get_global(p_left)), np.asarray(device_get_global(p_right))
+    b_idx, p_idx = np.asarray(device_get_global(b_idx)), np.asarray(device_get_global(p_idx))
+    b_shard, p_shard = np.asarray(device_get_global(b_shard)), np.asarray(device_get_global(p_shard))
 
     self_gid = (np.arange(S)[:, None] * T + np.arange(T)[None, :]).astype(np.int64)
     b_gid = b_shard.astype(np.int64) * T + b_idx
@@ -96,15 +96,31 @@ def build_edges_sharded(table: ShardedTable, k: int):
     r_port = np.where(b_rc, 1, 0)
     l_port = np.where(p_rc, 0, 1)
 
+    # walk-termination classification, same rules as traverse.build_edges
+    # (reference WalkTermStats, dbjg_traversal.cpp:114-141)
+    def _term(found, n_left, n_right, ok, self_hit):
+        n_uu = (n_left < 4) & (n_right < 4)
+        deadend = uu & (~found | (found & ((n_left == 5) | (n_right == 5))))
+        fork = uu & found & ~((n_left == 5) | (n_right == 5)) & ((n_left == 4) | (n_right == 4))
+        conflict = uu & found & n_uu & ~ok & ~self_hit
+        repeat = uu & found & self_hit
+        return [int(deadend.sum()), int(fork.sum()), int(conflict.sum()), int(repeat.sum())]
+
+    term_stats = np.array([
+        _term(r_found, b_left, b_right, r_ok, b_gid == self_gid),
+        _term(l_found, p_left, p_right, l_ok, p_gid == self_gid),
+    ])
+
     flat = lambda x: x.reshape(S * T)
     return dict(
         uu=flat(uu),
         r_idx=flat(b_gid), r_port=flat(r_port), r_ok=flat(r_ok),
         l_idx=flat(p_gid), l_port=flat(l_port), l_ok=flat(l_ok),
+        term_stats=term_stats,
     )
 
 
-def traverse_debruijn_graph_sharded(table: ShardedTable, k: int):
+def traverse_debruijn_graph_sharded(table: ShardedTable, k: int, stats: dict | None = None):
     """Full multi-shard traversal -> list of (seq, depth).
 
     Note: contigs may differ from the single-shard path only in cycle break
@@ -112,6 +128,10 @@ def traverse_debruijn_graph_sharded(table: ShardedTable, k: int):
     by (owner shard, kmer) instead of globally by kmer).
     """
     edges = build_edges_sharded(table, k)
-    words = np.asarray(jax.device_get(table.words)).reshape(-1, table.words.shape[-1])
-    count = np.asarray(jax.device_get(table.count)).reshape(-1)
+    if stats is not None:
+        from .traverse import term_stats_to_dict
+
+        stats["terminations"] = term_stats_to_dict(edges["term_stats"])
+    words = np.asarray(device_get_global(table.words)).reshape(-1, table.words.shape[-1])
+    count = np.asarray(device_get_global(table.count)).reshape(-1)
     return stitch_paths(edges, words, count, k)

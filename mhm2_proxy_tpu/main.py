@@ -46,6 +46,7 @@ def run_pipeline(opts: Options) -> Assembler:
         checkpoint=opts.checkpoint,
         output_dir=out_dir,
         n_shards=opts.shards,
+        n_hosts=opts.hosts,
         verbose=opts.verbose,
         dump_kmers=opts.dump_kmers,
     )
@@ -84,6 +85,10 @@ def run_pipeline(opts: Options) -> Assembler:
             else:
                 asm.run_round(k)
             log.info(f"[module] contigging k={k} {time.time()-t0:.2f}s")
+            if os.environ.get("MHM2_TPU_TEST_CRASH_ROUND") == str(k):
+                # fault injection for supervisor tests: die hard AFTER the
+                # round's checkpoint is on disk (launcher.py auto-resume)
+                os.kill(os.getpid(), 9)
 
         asm.dump_contigs(os.path.join(out_dir, "final_assembly.fasta"))
         if opts.gfa:
@@ -121,6 +126,18 @@ def main(argv=None):
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # multi-process launch (reference mhm2.py builds the upcxx-run spawn,
+    # src/mhm2.py:446-466): coordinates processes over DCN when the launcher
+    # exports the rendezvous env vars
+    nprocs = os.environ.get("MHM2_TPU_NUM_PROCS")
+    if nprocs:
+        from .parallel import init_multihost
+
+        init_multihost(
+            os.environ["MHM2_TPU_COORDINATOR"],
+            int(nprocs),
+            int(os.environ["MHM2_TPU_PROC_ID"]),
+        )
     opts = parse_args(argv)
     run_pipeline(opts)
     return 0

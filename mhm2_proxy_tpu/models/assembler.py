@@ -38,6 +38,7 @@ class AssemblerConfig:
     min_ctg_print_len: int = DEFAULT_MIN_CTG_PRINT_LEN
     block_reads: int = 4096
     pad_len_quantum: int = 32  # pad read length up to a multiple -> few shapes
+    chunk_bytes: int = 8 << 20  # streaming-ingest chunk size (bounded memory)
     checkpoint: bool = False
     checkpoint_merged: bool = False
     output_dir: str = "."
@@ -45,6 +46,10 @@ class AssemblerConfig:
     # >0 selects the sharded multi-device backend over an n-device mesh
     # (the analog of the reference's CPU/GPU backend seam, kcount.hpp:57-69)
     n_shards: int = 0
+    # >1 arranges the n_shards devices as a (n_hosts, n_shards/n_hosts)
+    # ("dcn","ici") mesh and uses the hierarchical node-aware exchange
+    # (the ThreeTierAggrStore analog, three_tier_aggr_store.hpp:289-316)
+    n_hosts: int = 0
     bucket_cap: int | None = None
     dump_kmers: bool = False
 
@@ -65,20 +70,34 @@ class Assembler:
 
     # -- ingest + merge ----------------------------------------------------
 
-    def load_reads(self, reads_fnames: list[str]):
-        """Read FASTQ files (paired 'f1:f2' or interleaved) and merge pairs.
+    def load_reads(self, reads_fnames: list[str], byte_range=None):
+        """Stream FASTQ files (paired 'f1:f2' or interleaved) and merge pairs.
 
-        Uses the native C++ parser (io/native.py) when available, falling
-        back to the Python parser; both paths produce identical blocks.
+        Inputs are streamed in bounded-memory chunks (io/stream.py; the
+        reference streams rank byte ranges, fastq.cpp:457-475) through the
+        native C++ parser when available. byte_range restricts ingest to a
+        raw-file range for per-host splits (fastq.cpp:399-455).
         """
+        from ..io.stream import stream_fastq_blocks
+
+        cfg = self.cfg
+        B = cfg.block_reads
+        kw = dict(
+            pad_quantum=cfg.pad_len_quantum, qual_offset=cfg.qual_offset,
+            chunk_bytes=cfg.chunk_bytes,
+        )
         for fname in reads_fnames:
             f1, f2 = split_paired_fname(fname)
-            buf1 = _read_decompressed(f1)
             if f2 is not None:
-                buf2 = _read_decompressed(f2)
-                self._merge_two_buffers(buf1, buf2)
+                it2 = stream_fastq_blocks(f2, B, byte_range=byte_range, **kw)
+                for c1, q1, l1, n1 in stream_fastq_blocks(f1, B, byte_range=byte_range, **kw):
+                    c2, q2, l2, n2 = next(it2)
+                    if n1 != n2:
+                        raise ValueError(f"paired files record mismatch: {n1} vs {n2}")
+                    self._merge_blocks(c1, q1, l1, c2, q2, l2)
             else:
-                self._merge_interleaved_buffer(buf1)
+                for c, q, l, n in stream_fastq_blocks(f1, 2 * B, byte_range=byte_range, **kw):
+                    self._merge_blocks(c[0::2], q[0::2], l[0::2], c[1::2], q[1::2], l[1::2])
         self.log.info(
             f"Merged {getattr(self, '_n_merged', 0)}/{getattr(self, '_n_pairs', 0)} pairs"
         )
@@ -93,46 +112,6 @@ class Assembler:
     def add_unpaired(self, seqs, quals):
         c, q, l = _lists_to_block(seqs, quals, self.cfg.pad_len_quantum, self.cfg.qual_offset)
         self.packed_reads.add_block(c, q, l)
-
-    def _parse_blocks(self, buf: bytes, block_reads: int):
-        from ..io import native
-
-        if native.native_available():
-            cnt, maxlen = native.scan(buf)
-            q = self.cfg.pad_len_quantum
-            L = max(((maxlen + q - 1) // q) * q, q)
-            yield from (
-                (c, ql, le, n)
-                for c, ql, le, n in native.parse_blocks(
-                    buf, block_reads, L, qual_pad=self.cfg.qual_offset
-                )
-            )
-        else:
-            from ..io.fastq import parse_fastq_bytes
-
-            ids, seqs, quals = parse_fastq_bytes(buf)
-            for s0 in range(0, len(seqs), block_reads):
-                chunk_s = seqs[s0 : s0 + block_reads]
-                chunk_q = quals[s0 : s0 + block_reads]
-                c, ql, le = _lists_to_block(
-                    chunk_s, chunk_q, self.cfg.pad_len_quantum, self.cfg.qual_offset,
-                    rows=block_reads,
-                )
-                yield c, ql, le, len(chunk_s)
-
-    def _merge_two_buffers(self, buf1: bytes, buf2: bytes):
-        B = self.cfg.block_reads
-        it2 = self._parse_blocks(buf2, B)
-        for c1, q1, l1, n1 in self._parse_blocks(buf1, B):
-            c2, q2, l2, n2 = next(it2)
-            if n1 != n2:
-                raise ValueError(f"paired files record mismatch: {n1} vs {n2}")
-            self._merge_blocks(c1, q1, l1, c2, q2, l2)
-
-    def _merge_interleaved_buffer(self, buf: bytes):
-        B = self.cfg.block_reads
-        for c, q, l, n in self._parse_blocks(buf, 2 * B):
-            self._merge_blocks(c[0::2], q[0::2], l[0::2], c[1::2], q[1::2], l[1::2])
 
     def _merge_blocks(self, c1, q1, l1, c2, q2, l2):
         """Merge aligned pair blocks and pack results (block-vectorized)."""
@@ -181,6 +160,14 @@ class Assembler:
     def _make_store(self, k: int):
         cfg = self.cfg
         if cfg.n_shards > 0:
+            if cfg.n_hosts > 1:
+                from ..parallel import HierarchicalCounter, make_host_mesh
+
+                if not hasattr(self, "_mesh"):
+                    self._mesh = make_host_mesh(cfg.n_hosts, cfg.n_shards // cfg.n_hosts)
+                return HierarchicalCounter(
+                    k, self._mesh, dmin_thres=cfg.dmin_thres, bucket_cap=cfg.bucket_cap
+                )
             from ..parallel import ShardedCounter, make_shard_mesh
 
             if not hasattr(self, "_mesh"):
@@ -228,6 +215,14 @@ class Assembler:
         self.log.info(
             f"k={k}: counted {n_kmers} kmers from {n_blocks} blocks in {time.time()-t0:.1f}s"
         )
+        if cfg.n_shards > 0:
+            self.log.info(f"k={k}: exchange {store.describe_exchange()}")
+            if store.spilled:
+                self.log.warning(
+                    f"k={k}: minimizer-hash skew: {store.spilled} records "
+                    f"re-sent over {store.spill_rounds} spill rounds "
+                    "(consider a larger --bucket-cap)"
+                )
         if cfg.dump_kmers:
             fname = f"{cfg.output_dir}/kmers-{k}.txt.gz"
             if cfg.n_shards > 0:
@@ -242,17 +237,23 @@ class Assembler:
             else:
                 table.dump_kmers(fname)
         t1 = time.time()
+        tstats: dict = {}
         if cfg.n_shards > 0:
             from ..dbjg import traverse_debruijn_graph_sharded
 
-            raw = traverse_debruijn_graph_sharded(table, k)
+            raw = traverse_debruijn_graph_sharded(table, k, stats=tstats)
         else:
-            raw = traverse_debruijn_graph(table, k)
+            raw = traverse_debruijn_graph(table, k, stats=tstats)
         self.contigs = [Contig(i, seq, depth) for i, (seq, depth) in enumerate(sorted(raw))]
         self.log.info(
             f"k={k}: traversal -> {len(self.contigs)} contigs in {time.time()-t1:.1f}s"
         )
-        self.log.debug(f"k={k}: walk terminations (deadend/fork/conflict/repeat)")
+        term = tstats.get("terminations", {})
+        self.log.info(
+            f"k={k}: walk terminations deadend={term.get('deadend', 0)} "
+            f"fork={term.get('fork', 0)} conflict={term.get('conflict', 0)} "
+            f"repeat={term.get('repeat', 0)}"
+        )
         if cfg.checkpoint:
             write_fasta(
                 f"{cfg.output_dir}/contigs-{k}.fasta",
@@ -326,14 +327,6 @@ def assemble(reads_fnames: list[str], config: AssemblerConfig | None = None):
     asm.dump_contigs(f"{asm.cfg.output_dir}/final_assembly.fasta")
     asm.print_stats()
     return asm
-
-def _read_decompressed(fname: str) -> bytes:
-    import gzip
-
-    opener = gzip.open if fname.endswith(".gz") else open
-    with opener(fname, "rb") as f:
-        return f.read()
-
 
 def _lists_to_block(seqs, quals, quantum: int, qual_offset: int, rows: int | None = None):
     maxlen = max((len(s) for s in seqs), default=1)

@@ -105,9 +105,10 @@ def align_reads_to_contigs(
         match=match, mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
     )
     score = np.asarray(aln["score"])
-    # identity proxy: score / (match * aligned_query_len)
+    # identity proxy: score / (match * aligned_query_len), so clipped/partial
+    # alignments are judged over the span that actually aligned
     qspan = np.maximum(np.asarray(aln["q_end"]) - np.asarray(aln["q_begin"]) + 1, 1)
-    identity = np.where(cid >= 0, score / (match * np.maximum(lens, 1)), 0.0)
+    identity = np.where(cid >= 0, score / (match * qspan), 0.0)
     return dict(cid=cid, score=score, identity=identity.astype(np.float32),
                 q_begin=np.asarray(aln["q_begin"]), q_end=np.asarray(aln["q_end"]),
                 r_begin=np.asarray(aln["r_begin"]), r_end=np.asarray(aln["r_end"]))

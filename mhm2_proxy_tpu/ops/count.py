@@ -30,9 +30,26 @@ I64 = jnp.int64
 U32 = jnp.uint32
 
 
+def minimizer_shard_targets(codes, k: int, m: int, n_shards: int, use_pallas: bool | None = None):
+    """(B, L) codes -> (B, P) int32 target shards via quick_hash(minimizer).
+
+    use_pallas=None auto-selects: the validated u32-pair Pallas kernel
+    (ops/pallas_minimizer.py, bit-exact, ~23% faster) is the production
+    default on TPU; CPU (tests) uses the jnp uint64 path.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and n_shards > 1
+    if use_pallas:
+        from .pallas_minimizer import pallas_minimizer_targets
+
+        return pallas_minimizer_targets(codes, k, m, n_shards)
+    minz = minimizers_from_codes(codes, k, m)
+    return (quick_hash_u64(minz) % jnp.uint64(n_shards)).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "m", "n_shards", "use_pallas"))
 def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, depth=None,
-                      use_pallas: bool = False):
+                      use_pallas: bool | None = None):
     """Extract count records from a block of sequences.
 
     codes: (B, L) uint8 base codes (0-3, 4=N); qual_ok: (B, L) bool (phred >=
@@ -67,15 +84,7 @@ def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, d
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = (pos >= 1) & (pos <= lens[:, None] - k - 1)
 
-    if use_pallas:
-        # u32-pair Pallas kernel (ops/pallas_minimizer.py): same bits, no
-        # uint64 emulation on TPU
-        from .pallas_minimizer import pallas_minimizer_targets
-
-        target = pallas_minimizer_targets(codes, k, m, n_shards)
-    else:
-        minz = minimizers_from_codes(codes, k, m)
-        target = (quick_hash_u64(minz) % jnp.uint64(n_shards)).astype(jnp.int32)
+    target = minimizer_shard_targets(codes, k, m, n_shards, use_pallas)
 
     if depth is None:
         count = jnp.ones((B, P), jnp.int32)

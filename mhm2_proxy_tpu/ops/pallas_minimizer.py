@@ -183,6 +183,8 @@ def pallas_minimizer_targets(codes, k: int, m: int, n_shards: int, interpret: bo
     n_shards must satisfy n_shards**2 < 2**32 (any real device count does).
     """
     B, L = codes.shape
+    # the hash-mod fold in the kernel is exact only while n^2 < 2^32
+    assert n_shards * n_shards < 2**32, f"n_shards={n_shards} too large for u32 mod fold"
     kernel, P = _make_kernel(k, m, n_shards, L)
     n_cand = k - m + 1
     total = P + n_cand - 1

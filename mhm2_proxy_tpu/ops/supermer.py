@@ -44,7 +44,7 @@ def build_supermers(codes, qual_ok, lens, k: int, m: int, smax: int, n_shards: i
     Returns dict(records (B*P, RW) u32, target (B*P,) i32, valid (B*P,) bool,
     n_kmers scalar) — only segment-start rows are valid records.
     """
-    from .bitkmer import minimizers_from_codes, quick_hash_u64
+    from .count import minimizer_shard_targets
 
     B, L = codes.shape
     P = L - k + 1
@@ -52,8 +52,8 @@ def build_supermers(codes, qual_ok, lens, k: int, m: int, smax: int, n_shards: i
 
     pos = jnp.arange(P, dtype=I32)[None, :]
     valid = (pos >= 1) & (pos <= lens[:, None] - k - 1)
-    minz = minimizers_from_codes(codes, k, m)
-    target = (quick_hash_u64(minz) % jnp.uint64(n_shards)).astype(I32)
+    # Pallas minimizer kernel on TPU (production default), jnp u64 on CPU
+    target = minimizer_shard_targets(codes, k, m, n_shards)
 
     prev_valid = jnp.pad(valid[:, :-1], ((0, 0), (1, 0)))
     prev_target = jnp.pad(target[:, :-1], ((0, 0), (1, 0)), constant_values=-1)

@@ -31,6 +31,7 @@ class Options:
     min_ctg_print_len: int = DEFAULT_MIN_CTG_PRINT_LEN
     block_reads: int = 4096
     shards: int = 0
+    hosts: int = 0  # >1: (hosts, shards/hosts) dcn x ici mesh
     verbose: bool = False
     gfa: bool = False
     profile: bool = False
@@ -73,6 +74,9 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--block-reads", type=int, default=4096)
     p.add_argument("--shards", type=int, default=0,
                    help=">0: shard counting/traversal over this many devices")
+    p.add_argument("--hosts", type=int, default=0,
+                   help=">1: arrange shards as a (hosts, shards/hosts) dcn x ici "
+                        "mesh with node-aware hierarchical exchange")
     p.add_argument("--gfa", action="store_true", help="write final_assembly.gfa2")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax profiler trace of the first round")
@@ -106,6 +110,7 @@ def parse_args(argv=None) -> Options:
         min_ctg_print_len=a.min_ctg_print_len,
         block_reads=a.block_reads,
         shards=a.shards,
+        hosts=a.hosts,
         verbose=a.verbose,
         gfa=a.gfa,
         profile=a.profile,

@@ -1,1 +1,8 @@
 from .sharded import ShardedCounter, make_shard_mesh, sharded_lookup  # noqa: F401
+from .multihost import (  # noqa: F401
+    HierarchicalCounter,
+    make_host_mesh,
+    init_multihost,
+    host_byte_ranges,
+    write_fasta_multihost,
+)

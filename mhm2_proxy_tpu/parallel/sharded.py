@@ -46,11 +46,44 @@ def make_shard_mesh(n_devices: int | None = None) -> Mesh:
     return jax.make_mesh((n,), ("shards",), devices=devs[:n])
 
 
+def device_get_global(x) -> np.ndarray:
+    """Fetch a (possibly multi-process) global array to host, fully.
+
+    Single-process: plain device_get. Multi-process: per-process shards are
+    all-gathered so every host sees the full array (the host-side stitch and
+    table dumps need global views; reference rget-based gathers,
+    dbjg_traversal.cpp:392-430)."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def put_sharded(arr, sharding) -> jax.Array:
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-process: device_put of the full array. Multi-process: `arr` is
+    each process's LOCAL rows (equal count per process); the global array is
+    assembled across processes (per-host byte-range ingest means no process
+    ever holds the whole input, fastq.cpp:399-455)."""
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    gshape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, arr, gshape)
+
+
 def _bucketize(payload, target, valid, n_shards: int, cap: int):
     """Route rows into (n_shards, cap, R) fixed-capacity buckets.
 
-    Rows beyond a bucket's capacity are dropped (counted); this mirrors the
-    reference's bounded aggregating-store buffers.
+    Rows beyond a bucket's capacity are NOT lost: they are returned as a
+    leftover set (payload, target, mask) for the caller to re-exchange in a
+    spill round — the reference's aggregating stores likewise never drop,
+    they backpressure (flat_aggr_store.hpp:41-72).
+
+    Returns (buckets, n_overflow, (leftover_payload, leftover_target,
+    leftover_mask)).
     """
     N, R = payload.shape
     key = jnp.where(valid, target, n_shards)
@@ -63,9 +96,118 @@ def _bucketize(payload, target, valid, n_shards: int, cap: int):
     dest = jnp.where(ok, t_s.astype(I32) * cap + pos, n_shards * cap)
     out = jnp.zeros((n_shards * cap + 1, R), payload.dtype)
     out = out.at[dest].set(p_s, mode="drop")
-    sent = jnp.sum(ok)
-    n_valid = jnp.sum(valid)
-    return out[: n_shards * cap].reshape(n_shards, cap, R), n_valid - sent
+    left_mask = (t_s < n_shards) & (pos >= cap)
+    left_target = jnp.where(left_mask, t_s, n_shards).astype(I32)
+    n_overflow = jnp.sum(left_mask)
+    return (
+        out[: n_shards * cap].reshape(n_shards, cap, R),
+        n_overflow,
+        (p_s, left_target, left_mask),
+    )
+
+
+def _presum_duplicates(payload, target, valid, count_of, with_count, mode: str):
+    """Sender-side pre-aggregation of duplicate rows before the exchange.
+
+    The analog of the reference's HeavyHitterStreamingStore
+    (heavy_hitter_streaming_store.hpp:243-265): identical payload rows
+    (ignoring the count field) are collapsed to one row whose count is the
+    saturating sum ('sum', read pass — exact w.r.t. the u16-clamped table
+    counts since increments are nonnegative) or the min ('min', ctg pass —
+    matching the min-depth-over-occurrences rule, kcount_cpu.cpp:381-396).
+    A poly-A storm thus collapses to ~1 row per sender instead of flooding
+    one shard's buckets.
+
+    count_of(payload) -> (N,) i32; with_count(payload, c) -> payload.
+    Returns (payload, target, valid, n_collapsed).
+    """
+    N, R = payload.shape
+    cnt = count_of(payload).astype(I32)
+    key_rows = with_count(payload, jnp.zeros((N,), I32))
+    keys = tuple(key_rows[:, i] for i in range(R - 1, -1, -1)) + (
+        jnp.where(valid, U32(0), U32(1)),
+    )
+    order = jnp.lexsort(keys)
+    kp = key_rows[order]
+    p = payload[order]
+    t = target[order]
+    v = valid[order]
+    c = cnt[order]
+    neq = jnp.any(kp[1:] != kp[:-1], axis=-1) | (v[1:] != v[:-1])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    seg = jnp.cumsum(is_start) - 1
+    if mode == "sum":
+        red = jnp.minimum(jax.ops.segment_sum(c, seg, num_segments=N), MAX_KMER_COUNT)
+    else:
+        red = jax.ops.segment_min(c, seg, num_segments=N)
+    v2 = v & is_start
+    p2 = with_count(p, red[seg])
+    return p2, t, v2, jnp.sum(v) - jnp.sum(v2)
+
+
+def _record_fns(k: int, m: int, smax: int, n_route: int, use_supermers: bool, ctg_mode: bool):
+    """Build the record-format closures shared by the flat and hierarchical
+    counters.
+
+    Returns (make_records, receive_agg, count_of, with_count, R):
+      make_records(codes, qual_ok, lens, depth) -> (payload (N,R) u32,
+        target (N,) i32 in [0, n_route), valid (N,) bool, n_kmers scalar)
+      receive_agg(payload (M,R)) -> partial-table aggregate tuple
+      count_of/with_count: count-field accessors for _presum_duplicates;
+        with_count preserves all non-count payload bits (the hierarchical
+        path stashes the target host in spare meta bits).
+    """
+    if use_supermers:
+        nb, cw, mw, rw = supermer_layout(k, smax)
+        R = rw
+        meta_col = cw + mw
+
+        def count_of(pl):
+            return ((pl[:, meta_col] >> U32(8)) & U32(0xFFFF)).astype(I32)
+
+        def with_count(pl, c):
+            meta = (pl[:, meta_col] & ~U32(0xFFFF << 8)) | (
+                jnp.clip(c, 0, MAX_KMER_COUNT).astype(U32) << U32(8)
+            )
+            return jnp.concatenate([pl[:, :meta_col], meta[:, None]], axis=1)
+
+        def make_records(codes, qual_ok, lens, depth):
+            sup = build_supermers(codes, qual_ok, lens, k, m, smax, n_route, depth=depth)
+            return sup["records"], sup["target"], sup["valid"], sup["n_kmers"]
+
+        def receive_agg(recs):
+            s_codes, s_qok, s_lens, s_depth = expand_supermers(recs, k, smax)
+            rec = C.read_kmer_records(s_codes, s_qok, s_lens, k, m, n_shards=1, depth=s_depth)
+            if ctg_mode:
+                return _aggregate_ctg_records(
+                    rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+                )
+            return C.aggregate_records(
+                rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+            )
+    else:
+        W = words32_for_k(k)
+        R = W + 2
+
+        def count_of(pl):
+            return pl[:, W + 1].astype(I32)
+
+        def with_count(pl, c):
+            return jnp.concatenate(
+                [pl[:, : W + 1], jnp.clip(c, 0, MAX_KMER_COUNT).astype(U32)[:, None]], axis=1
+            )
+
+        def make_records(codes, qual_ok, lens, depth):
+            rec = C.read_kmer_records(codes, qual_ok, lens, k, m, n_shards=n_route, depth=depth)
+            return _pack_records(rec), rec["target"], rec["valid"], jnp.sum(rec["valid"])
+
+        def receive_agg(pl):
+            words, left, right, count, valid = _unpack_records(pl, W)
+            if ctg_mode:
+                return _aggregate_ctg_records(words, left, right, count, valid)
+            return C.aggregate_records(words, left, right, count, valid)
+
+    return make_records, receive_agg, count_of, with_count, R
 
 
 def _pack_records(rec):
@@ -109,7 +251,19 @@ class ShardedCounter:
         self.bucket_cap = bucket_cap
         self.runs: list[tuple] = []
         self.ctg_runs: list[tuple] = []
-        self.dropped = 0
+        # exchange observability (reference kcount_cpu.cpp:107-110 compression
+        # ratio, flat_aggr_store per-target volume counters)
+        self.dropped = 0  # permanently lost rows: structurally 0 (spill loop)
+        self.spilled = 0  # rows deferred to spill rounds (re-sent, not lost)
+        self.spill_rounds = 0
+        self.stat_kmers = 0
+        self.stat_records = 0
+        self.stat_bytes = 0
+        self.stat_collapsed = 0
+        if use_supermers:
+            self._row_words = supermer_layout(k, smax)[3]
+        else:
+            self._row_words = words32_for_k(k) + 2
         self._count_steps = {}
         self._agg = jax.jit(jax.vmap(C.aggregate_records))
         self._merge = jax.jit(jax.vmap(C.merge_aggregates))
@@ -122,95 +276,76 @@ class ShardedCounter:
         )
 
     def _build_count_step(self, B, L, cap, ctg_mode: bool):
-        if self.use_supermers:
-            return self._build_supermer_step(B, L, cap, ctg_mode)
-        k, m, S = self.k, self.m, self.S
-        W = words32_for_k(k)
-        mesh = self.mesh
+        """Build the (first_step, spill_step) jitted pair for one shape config.
 
-        def per_device(codes, qual_ok, lens, depth):
-            rec = C.read_kmer_records(
-                codes, qual_ok, lens, k, m, n_shards=S,
-                depth=depth if ctg_mode else None,
-            )
-            payload = _pack_records(rec)
-            buckets, dropped = _bucketize(payload, rec["target"], rec["valid"], S, cap)
-            recv = jax.lax.all_to_all(buckets, "shards", split_axis=0, concat_axis=0, tiled=True)
-            return recv.reshape(S * cap, W + 2), dropped[None]
-
-        fn = jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P("shards"),) * 4,
-            out_specs=(P("shards"), P("shards")),
-            check_vma=False,
-        )
-
-        @jax.jit
-        def step(codes, qual_ok, lens, depth):
-            payloads, dropped = fn(codes, qual_ok, lens, depth)
-            # payloads: (S * S*cap, W+2) -> (S, S*cap, W+2) one row per shard
-            pl = payloads.reshape(self.S, self.S * cap, W + 2)
-            words, left, right, count, valid = jax.vmap(partial(_unpack_records, W=W))(pl)
-            if ctg_mode:
-                agg = jax.vmap(_aggregate_ctg_records)(words, left, right, count, valid)
-            else:
-                agg = jax.vmap(C.aggregate_records)(words, left, right, count, valid)
-            return agg, jnp.sum(dropped)
-
-        return step
-
-    def _build_supermer_step(self, B, L, cap, ctg_mode: bool):
-        """Supermer-compressed exchange: ~smax x less all-to-all volume.
-
-        The reference's supermer aggregation (kcount_cpu.cpp:84-103) expressed
-        as fixed-capacity packed records; the receiver replays the standard
-        counting path over the unpacked windows.
+        first_step: records -> sender presum -> bucketize -> all_to_all ->
+        receiver aggregate, returning leftovers (rows that overflowed a
+        bucket) for spill rounds. spill_step re-exchanges leftovers with the
+        same capacity until none remain — together the exchange is lossless
+        under arbitrary minimizer-hash skew (reference flat_aggr_store
+        backpressure semantics, flat_aggr_store.hpp:41-72).
         """
-        k, m, S, smax = self.k, self.m, self.S, self.smax
+        k, m, S = self.k, self.m, self.S
         mesh = self.mesh
-        nb, cw, mw, rw = supermer_layout(k, smax)
+        mode = "min" if ctg_mode else "sum"
+        make_records, receive_agg, count_of, with_count, R = _record_fns(
+            k, m, self.smax, S, self.use_supermers, ctg_mode
+        )
 
-        def per_device(codes, qual_ok, lens, depth):
-            sup = build_supermers(
-                codes, qual_ok, lens, k, m, smax, S,
-                depth=depth if ctg_mode else None,
+        def exchange(payload, target, valid):
+            buckets, n_over, (lp, lt, lv) = _bucketize(payload, target, valid, S, cap)
+            recv = jax.lax.all_to_all(
+                buckets, "shards", split_axis=0, concat_axis=0, tiled=True
             )
-            buckets, dropped = _bucketize(sup["records"], sup["target"], sup["valid"], S, cap)
-            recv = jax.lax.all_to_all(buckets, "shards", split_axis=0, concat_axis=0, tiled=True)
-            return recv.reshape(S * cap, rw), dropped[None]
+            n_sent = jnp.sum(valid) - n_over
+            return recv.reshape(S * cap, R), lp, lt, lv, n_sent, n_over
 
-        fn = jax.shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P("shards"),) * 4,
-            out_specs=(P("shards"), P("shards")),
+        def per_device_first(codes, qual_ok, lens, depth):
+            payload, target, valid, n_kmers = make_records(codes, qual_ok, lens, depth)
+            payload, target, valid, n_collapsed = _presum_duplicates(
+                payload, target, valid, count_of, with_count, mode
+            )
+            recv, lp, lt, lv, n_sent, n_over = exchange(payload, target, valid)
+            stats = jnp.stack(
+                [n_kmers.astype(I64), n_sent.astype(I64), n_over.astype(I64),
+                 n_collapsed.astype(I64)]
+            )
+            return recv, lp, lt, lv, stats[None]
+
+        def per_device_spill(payload, target, valid):
+            recv, lp, lt, lv, n_sent, n_over = exchange(payload, target, valid)
+            stats = jnp.stack(
+                [jnp.zeros((), I64), n_sent.astype(I64), n_over.astype(I64),
+                 jnp.zeros((), I64)]
+            )
+            return recv, lp, lt, lv, stats[None]
+
+        first_fn = jax.shard_map(
+            per_device_first, mesh=mesh,
+            in_specs=(P("shards"),) * 4, out_specs=(P("shards"),) * 5,
+            check_vma=False,
+        )
+        spill_fn = jax.shard_map(
+            per_device_spill, mesh=mesh,
+            in_specs=(P("shards"),) * 3, out_specs=(P("shards"),) * 5,
             check_vma=False,
         )
 
+        def recv_to_agg(payloads):
+            pl = payloads.reshape(self.S, self.S * cap, R)
+            return jax.vmap(receive_agg)(pl)
+
         @jax.jit
-        def step(codes, qual_ok, lens, depth):
-            payloads, dropped = fn(codes, qual_ok, lens, depth)
-            pl = payloads.reshape(self.S, self.S * cap, rw)
+        def first_step(codes, qual_ok, lens, depth):
+            recv, lp, lt, lv, stats = first_fn(codes, qual_ok, lens, depth)
+            return recv_to_agg(recv), lp, lt, lv, jnp.sum(stats, axis=0)
 
-            def expand_and_agg(recs):
-                s_codes, s_qok, s_lens, s_depth = expand_supermers(recs, k, smax)
-                rec = C.read_kmer_records(
-                    s_codes, s_qok, s_lens, k, m, n_shards=1,
-                    depth=s_depth if ctg_mode else None,
-                )
-                if ctg_mode:
-                    return _aggregate_ctg_records(
-                        rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
-                    )
-                return C.aggregate_records(
-                    rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
-                )
+        @jax.jit
+        def spill_step(payload, target, valid):
+            recv, lp, lt, lv, stats = spill_fn(payload, target, valid)
+            return recv_to_agg(recv), lp, lt, lv, jnp.sum(stats, axis=0)
 
-            agg = jax.vmap(expand_and_agg)(pl)
-            return agg, jnp.sum(dropped)
-
-        return step
+        return first_step, spill_step
 
     def add_reads_block(self, codes, qual_ok, lens):
         """codes: (S*B, L) global arrays sharded over devices on axis 0."""
@@ -226,33 +361,63 @@ class ShardedCounter:
         SB, L = np.asarray(codes).shape
         B = SB // self.S
         P_ = L - self.k + 1
-        # bucket_cap is in KMERS; the supermer path converts to records
+        # bucket_cap is in KMERS; the supermer path converts to records.
+        # Undersized caps cost spill rounds, never correctness.
         if self.bucket_cap:
             kmer_cap = self.bucket_cap
+            floor = 8
         else:
             kmer_cap = max(256, int(B * P_ // max(self.S, 1) * 2))
+            floor = 64
         if self.use_supermers:
-            cap = max(64, kmer_cap // self.smax * 3)
+            cap = max(floor, kmer_cap // self.smax * 3)
         else:
             cap = kmer_cap
         key = (B, L, cap, ctg_mode)
         steps = self._count_steps
         if key not in steps:
             steps[key] = self._build_count_step(B, L, cap, ctg_mode)
+        first_step, spill_step = steps[key]
         sharding = NamedSharding(self.mesh, P("shards"))
-        codes = jax.device_put(jnp.asarray(codes), sharding)
-        qual_ok = jax.device_put(jnp.asarray(qual_ok), sharding)
-        lens = jax.device_put(jnp.asarray(lens), sharding)
+        codes = put_sharded(codes, sharding)
+        qual_ok = put_sharded(qual_ok, sharding)
+        lens = put_sharded(lens, sharding)
         if depths is None:
-            depths = jnp.zeros((SB,), jnp.int32)
-        depths = jax.device_put(jnp.asarray(depths), sharding)
+            depths = np.ones((SB,), np.int32)  # read pass: each record counts once
+        depths = put_sharded(depths, sharding)
+        push = self._push_ctg_run if ctg_mode else self._push_run
         with jax.set_mesh(self.mesh):
-            agg, dropped = steps[key](codes, qual_ok, lens, depths)
-            if ctg_mode:
-                self._push_ctg_run(agg)
-            else:
-                self._push_run(agg)
-        self.dropped += int(dropped)
+            agg, lp, lt, lv, stats = first_step(codes, qual_ok, lens, depths)
+            push(agg)
+            n_left = self._account(stats)
+            # spill rounds: re-exchange overflowed rows until all are placed
+            # (lossless under arbitrary skew; terminates since every round
+            # ships cap rows per over-full destination)
+            while n_left > 0:
+                self.spill_rounds += 1
+                agg, lp, lt, lv, stats = spill_step(lp, lt, lv)
+                push(agg)
+                n_left = self._account(stats)
+
+    def _account(self, stats) -> int:
+        n_kmers, n_sent, n_over, n_collapsed = (int(x) for x in np.asarray(stats))
+        self.stat_kmers += n_kmers
+        self.stat_records += n_sent
+        self.stat_bytes += n_sent * self._row_words * 4
+        self.stat_collapsed += n_collapsed
+        self.spilled += n_over
+        return n_over
+
+    def describe_exchange(self) -> str:
+        """Exchange-volume summary (reference supermer compression ratio,
+        kcount_cpu.cpp:107-110, and aggr-store volume counters)."""
+        ratio = self.stat_kmers / max(self.stat_records, 1)
+        return (
+            f"{self.stat_records} records ({self.stat_bytes >> 20} MiB all_to_all) "
+            f"for {self.stat_kmers} kmers ({ratio:.1f} kmers/record), "
+            f"{self.stat_collapsed} presummed, {self.spilled} re-sent in "
+            f"{self.spill_rounds} spill rounds, {self.dropped} dropped"
+        )
 
     def _push_run(self, agg):
         self.runs.append(agg)
@@ -309,27 +474,54 @@ class ShardedTable:
         self.S = words.shape[0]
 
     def shard_tables(self) -> list[FinalTable]:
-        w = jax.device_get(self.words)
-        c = jax.device_get(self.count)
-        l = jax.device_get(self.left)
-        r = jax.device_get(self.right)
-        n = jax.device_get(self.n)
+        w = device_get_global(self.words)
+        c = device_get_global(self.count)
+        l = device_get_global(self.left)
+        r = device_get_global(self.right)
+        n = device_get_global(self.n)
         return [
             FinalTable(self.k, w[s], c[s], l[s], r[s], n[s]) for s in range(self.S)
         ]
 
 
 def sharded_lookup(table: ShardedTable, query_words, query_valid, cap: int | None = None):
-    """Cross-shard batched point lookup.
+    """Cross-shard batched point lookup (lossless).
 
     query_words: (S, Q, W) per-source-shard canonical k-mer queries with
     query_valid: (S, Q) bool. Returns (found, count, left, right), each
-    (S, Q), aligned with the queries.
+    (S, Q), aligned with the queries. If minimizer-hash skew overflows a
+    bucket, the lookup retries with doubled capacity until every query is
+    answered (the reference's aggregating stores never drop either,
+    flat_aggr_store.hpp:41-72).
     """
+    S, Q, W = query_words.shape
+    max_cap = S * Q  # every query routed to one shard
+    while True:
+        try:
+            return _sharded_lookup_once(table, query_words, query_valid, cap)
+        except _BucketOverflow as e:
+            if e.cap >= max_cap:
+                raise RuntimeError("sharded_lookup: overflow at max capacity") from e
+            cap = min(2 * e.cap, max_cap)
+
+
+class _BucketOverflow(Exception):
+    def __init__(self, cap: int, dropped: int):
+        super().__init__(f"{dropped} rows overflowed bucket cap {cap}")
+        self.cap = cap
+        self.dropped = dropped
+
+
+def _sharded_lookup_once(table: ShardedTable, query_words, query_valid, cap: int | None = None):
     S, Q, W = query_words.shape
     k, m = table.k, minimizer_len_for_k(table.k)
     cap = cap or max(64, 2 * Q // max(S, 1) + 64)
     mesh = table.mesh
+    # works over any mesh: a multi-axis ("dcn", "ici") mesh flattens to one
+    # combined host-major axis for this collective
+    axes = tuple(mesh.axis_names)
+    axis = axes if len(axes) > 1 else axes[0]
+    spec = P(axes)
 
     def per_device(qw, q_valid, t_words, t_count, t_left, t_right, t_n):
         qw, q_valid = qw[0], q_valid[0]  # (Q, W), (Q,)
@@ -342,19 +534,23 @@ def sharded_lookup(table: ShardedTable, query_words, query_valid, cap: int | Non
         payload = jnp.concatenate(
             [qw, qid[:, None].astype(U32), q_valid[:, None].astype(U32)], axis=1
         )
-        buckets, _ = _bucketize(payload, target, q_valid, S, cap)
-        recv = jax.lax.all_to_all(buckets, "shards", split_axis=0, concat_axis=0, tiled=True)
+        buckets, lk_dropped, _ = _bucketize(payload, target, q_valid, S, cap)
+        recv = jax.lax.all_to_all(buckets, axis, split_axis=0, concat_axis=0, tiled=True)
         rq = recv.reshape(S * cap, W + 2)
         r_words = rq[:, :W]
         r_qid = rq[:, W].astype(I32)
         r_valid = rq[:, W + 1].astype(bool)
         idx, found = table_lookup(t_words, t_n, r_words)
         found = found & r_valid
+        # answer packing: found(1) | left ext call(3, codes 0..5) |
+        # right(3) | count(16) = 23 bits; counts up to MAX_KMER_COUNT=0xFFFF
+        # round-trip exactly (advisor round-1 finding: the old 15-bit layout
+        # wrapped counts >= 32768)
         ans = (
             found.astype(U32)
             | (t_left[idx].astype(U32) << U32(1))
-            | (t_right[idx].astype(U32) << U32(9))
-            | (jnp.clip(t_count[idx], 0, MAX_KMER_COUNT).astype(U32) << U32(17))
+            | (t_right[idx].astype(U32) << U32(4))
+            | (jnp.clip(t_count[idx], 0, MAX_KMER_COUNT).astype(U32) << U32(7))
         )
         ans = jnp.where(r_valid, ans, U32(0))
         # route answers + owner row idx back; slot (s,c) returns to shard s
@@ -362,26 +558,33 @@ def sharded_lookup(table: ShardedTable, query_words, query_valid, cap: int | Non
             [ans, idx.astype(U32), r_qid.astype(U32), r_valid.astype(U32)], axis=-1
         )
         back = stack.reshape(S, cap, 4)
-        recv_back = jax.lax.all_to_all(back, "shards", split_axis=0, concat_axis=0, tiled=True)
+        recv_back = jax.lax.all_to_all(back, axis, split_axis=0, concat_axis=0, tiled=True)
         flat = recv_back.reshape(S * cap, 4)
         dest = jnp.where(flat[:, 3].astype(bool), flat[:, 2].astype(I32), Q)
         out = jnp.zeros((Q + 1,), U32)
         out = out.at[dest].set(flat[:, 0], mode="drop")
         oidx = jnp.zeros((Q + 1,), U32)
         oidx = oidx.at[dest].set(flat[:, 1], mode="drop")
-        return out[None, :Q], oidx[None, :Q]
+        return out[None, :Q], oidx[None, :Q], lk_dropped[None]
 
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P("shards"),) * 7,
-        out_specs=(P("shards"), P("shards")),
+        in_specs=(spec,) * 7,
+        out_specs=(spec, spec, spec),
         check_vma=False,
     )
     with jax.set_mesh(mesh):
-        ans, oidx = fn(query_words, query_valid, table.words, table.count, table.left, table.right, table.n)
+        ans, oidx, lk_dropped = fn(
+            query_words, query_valid, table.words, table.count, table.left, table.right, table.n
+        )
+    n_dropped = int(jnp.sum(lk_dropped))
+    if n_dropped:
+        # a dropped query would silently read as found=False and split a
+        # contig (advisor round-1 finding); retry at higher capacity
+        raise _BucketOverflow(cap, n_dropped)
     found = (ans & U32(1)).astype(bool)
-    left = ((ans >> U32(1)) & U32(0xFF)).astype(jnp.uint8)
-    right = ((ans >> U32(9)) & U32(0xFF)).astype(jnp.uint8)
-    count = ((ans >> U32(17)) & U32(0x7FFF)).astype(I32)
+    left = ((ans >> U32(1)) & U32(0x7)).astype(jnp.uint8)
+    right = ((ans >> U32(4)) & U32(0x7)).astype(jnp.uint8)
+    count = ((ans >> U32(7)) & U32(0xFFFF)).astype(I32)
     return found, count, left, right, oidx.astype(I32)

@@ -169,6 +169,71 @@ def test_sharded_assembler_end_to_end(rng, mesh):
     assert sorted(c.seq for c in sharded) == sorted(c.seq for c in single)
 
 
+def test_spill_loop_lossless_tiny_cap(rng, mesh):
+    """Bucket overflow re-exchanges in spill rounds; nothing is ever dropped.
+
+    Tiny caps on the raw-record path force multiple spill rounds; the final
+    table must still equal the oracle exactly (reference aggregating stores
+    never drop either, flat_aggr_store.hpp:41-72)."""
+    k = 21
+    reads = make_read_set(rng, k)
+    codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=16, use_supermers=False)
+    counter.add_reads_block(codes, qual_ok, lens)
+    assert counter.spill_rounds > 0 and counter.spilled > 0
+    assert counter.dropped == 0
+    table = counter.finalize()
+    got = {}
+    for ft in table.shard_tables():
+        got.update(ft.to_host_dict())
+    assert got == count_kmers_oracle(reads, k)
+
+
+def test_poly_a_storm_lossless(rng, mesh):
+    """Worst-case skew: every record routes to ONE shard (poly-A minimizers).
+
+    Quality dips make records distinct so sender presum can't collapse them
+    all; counts must still equal the oracle with zero drops (round-1 verdict:
+    the old fixed caps silently dropped exactly this case)."""
+    k = 21
+    L = 64
+    reads = []
+    for _ in range(96):
+        q = np.full(L, 33 + 38, np.uint8)
+        q[rng.integers(0, L, 3)] = 33 + 2  # random low-quality dips
+        reads.append(("A" * L, "".join(chr(c) for c in q)))
+    codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=256)
+    counter.add_reads_block(codes, qual_ok, lens)
+    assert counter.dropped == 0
+    # identical dip-free windows collapse sender-side (the HHSS analog)
+    assert counter.stat_collapsed > 0
+    table = counter.finalize()
+    got = {}
+    for ft in table.shard_tables():
+        got.update(ft.to_host_dict())
+    assert got == count_kmers_oracle(reads, k)
+
+
+def test_sharded_lookup_retries_on_overflow(rng, mesh):
+    """An undersized lookup cap retries with doubled capacity, losslessly."""
+    k = 21
+    reads = make_read_set(rng, k)
+    codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=4096)
+    counter.add_reads_block(codes, qual_ok, lens)
+    table = counter.finalize()
+    Q = int(np.asarray(table.n).max())
+    qw = np.roll(np.asarray(table.words[:, :Q]), 1, axis=0)
+    qv = np.roll(np.asarray(np.arange(Q)[None, :] < np.asarray(table.n)[:, None]), 1, axis=0)
+    found, count, _, _, _ = sharded_lookup(
+        table, jnp.asarray(qw), jnp.asarray(qv), cap=max(Q // 4, 1)
+    )
+    assert np.asarray(found)[qv].all()
+    src_count = np.roll(np.asarray(table.count[:, :Q]), 1, axis=0)
+    assert (np.asarray(count)[qv] == src_count[qv]).all()
+
+
 def test_sharded_raw_records_path(rng, mesh):
     """The non-supermer exchange path stays equivalent."""
     k = 21
