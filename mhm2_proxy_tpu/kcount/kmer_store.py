@@ -68,14 +68,24 @@ class FinalTable:
 
 
 class KmerCountStore:
-    """Accumulates k-mer count records for one shard of one k round."""
+    """Accumulates k-mer count records for one shard of one k round.
 
-    def __init__(self, k: int, dmin_thres: int = 2, n_shards: int = 1):
+    With compact_singles (default), runs are stored split into a multi part
+    (count >= 2) and a ~4x-smaller compact singleton part, and are trimmed to
+    their occupancy after every merge — the GQF singleton-filter analog
+    (reference kcount-gpu/gqf.hpp:358-378; sizing kmer_dht.cpp:151).
+    """
+
+    def __init__(self, k: int, dmin_thres: int = 2, n_shards: int = 1,
+                 compact_singles: bool = True):
         self.k = k
         self.m = minimizer_len_for_k(k)
         self.dmin_thres = dmin_thres
         self.n_shards = n_shards
-        self.runs: list[tuple] = []  # (words, count, l4, r4, n_unique)
+        self.compact_singles = compact_singles
+        # plain: (words, count, l4, r4, n_unique)
+        # split: (m_words, m_count, m_l4, m_r4, n_m, s_words, s_ext, n_s)
+        self.runs: list[tuple] = []
         self.ctg_runs: list[tuple] = []
 
     # -- read pass ---------------------------------------------------------
@@ -86,7 +96,10 @@ class KmerCountStore:
             jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), self.k, self.m
         )
         agg = C.aggregate_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
-        self._push_run(self.runs, agg, C.merge_aggregates)
+        if self.compact_singles:
+            self._push_split_run(self._split_trim(agg))
+        else:
+            self._push_run(self.runs, agg, C.merge_aggregates)
 
     @staticmethod
     def _push_run(runs, agg, merge_fn):
@@ -96,6 +109,41 @@ class KmerCountStore:
             b = runs.pop()
             a = runs.pop()
             runs.append(merge_fn(*a[:4], *b[:4]))
+
+    # -- split-run (singleton-filtered) LSM ---------------------------------
+
+    def _split_trim(self, agg):
+        """Split an aggregate into (multi, singles) and trim to occupancy."""
+        m_w, m_c, m_l4, m_r4, n_m, s_w, s_e, n_s = C.split_run(*agg)
+        pm = min(C.pow2_rows(int(n_m)), m_w.shape[0])
+        ps = min(C.pow2_rows(int(n_s)), s_w.shape[0])
+        return (m_w[:pm], m_c[:pm], m_l4[:pm], m_r4[:pm], n_m,
+                s_w[:ps], s_e[:ps], n_s)
+
+    @staticmethod
+    def _split_rows(run) -> int:
+        return run[0].shape[0] + run[5].shape[0]
+
+    def _merge_split(self, a, b):
+        merged = C.merge_aggregates4(
+            a[:4], C.expand_singles(a[5], a[6], a[7]),
+            b[:4], C.expand_singles(b[5], b[6], b[7]),
+        )
+        return self._split_trim(merged)
+
+    def _push_split_run(self, run):
+        self.runs.append(run)
+        while (
+            len(self.runs) >= 2
+            and self._split_rows(self.runs[-1]) >= self._split_rows(self.runs[-2]) // 2
+        ):
+            b = self.runs.pop()
+            a = self.runs.pop()
+            self.runs.append(self._merge_split(a, b))
+
+    def resident_run_bytes(self) -> int:
+        """Device bytes held by the read-pass runs (memory observability)."""
+        return sum(sum(x.nbytes for x in run if hasattr(x, "nbytes")) for run in self.runs)
 
     # -- contig pass (rounds >= 2) ----------------------------------------
 
@@ -112,16 +160,25 @@ class KmerCountStore:
     # -- finalize ----------------------------------------------------------
 
     def _merged_reads(self):
-        cap = max((r[0].shape[0] for r in self.runs), default=0)
-        while len(self.runs) > 1:
-            b = self.runs.pop()
-            a = self.runs.pop()
-            self.runs.append(C.merge_aggregates(*a[:4], *b[:4]))
-        if not self.runs:
-            W = words32_for_k(self.k)
-            z = jnp.full((1, W), 0xFFFFFFFF, jnp.uint32)
-            return (z, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32), jnp.int32(0))
-        return self.runs[0]
+        if self.compact_singles:
+            while len(self.runs) > 1:
+                b = self.runs.pop()
+                a = self.runs.pop()
+                self.runs.append(self._merge_split(a, b))
+            if self.runs:
+                a = self.runs[0]
+                # final: fold the singleton sideband back into full format
+                return C.merge_aggregates(*a[:4], *C.expand_singles(a[5], a[6], a[7]))
+        else:
+            while len(self.runs) > 1:
+                b = self.runs.pop()
+                a = self.runs.pop()
+                self.runs.append(C.merge_aggregates(*a[:4], *b[:4]))
+            if self.runs:
+                return self.runs[0]
+        W = words32_for_k(self.k)
+        z = jnp.full((1, W), 0xFFFFFFFF, jnp.uint32)
+        return (z, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 4), jnp.int32), jnp.int32(0))
 
     def _merged_ctgs(self):
         while len(self.ctg_runs) > 1:

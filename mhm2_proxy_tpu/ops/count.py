@@ -201,6 +201,87 @@ def _get_ext_calls(c4, count, dmin_thres):
     return call
 
 
+# ---------------------------------------------------------------------------
+# singleton pre-filter (GQF analog)
+# ---------------------------------------------------------------------------
+#
+# The reference's GPU path keeps singletons OUT of the hash table with a
+# counting quotient filter: first sight stashes the extensions in the filter,
+# second sight promotes to the table (kcount-gpu/gqf.hpp:358-378, ~0.6x table
+# memory, kmer_dht.cpp:151). The LSM-run analog: split every deduped run into
+# a multi part (count >= 2, full count + 2x(4-wide) ext-count format,
+# 4W+36 B/row) and a compact singleton part (count == 1: exactly one
+# occurrence, so its ext one-hots collapse to two 4-bit codes — 4W+1 B/row,
+# ~4x smaller for k=21). Merges re-expand transiently; a second occurrence
+# promotes the row to the multi part.
+
+
+def pow2_rows(n: int, floor: int = 256) -> int:
+    """Static row count to slice a run to (bounds the jit shape zoo)."""
+    return max(floor, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+def _ext_code_of(c4, valid):
+    """(N,4) one-hot ext counts of count-1 rows -> u8 code (0-3 or EXT_NONE)."""
+    has = jnp.sum(c4, axis=-1) == 1
+    code = jnp.argmax(c4, axis=-1).astype(jnp.uint8)
+    return jnp.where(valid & has, code, jnp.uint8(EXT_NONE))
+
+
+@jax.jit
+def split_run(words, count, l4, r4, n_unique):
+    """Split a deduped run into (multi, compact-singleton) parts.
+
+    Returns (m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single);
+    both parts lexsorted dense prefixes (sentinel-tailed), s_ext packs
+    left | right << 4 in one uint8.
+    """
+    N, W = words.shape
+    row_valid = jnp.arange(N) < n_unique
+    is_single = row_valid & (count == 1)
+    is_multi = row_valid & (count >= 2)
+
+    mw = _sentinelize(words, is_multi)
+    keys = tuple(mw[:, i] for i in range(W - 1, -1, -1))
+    order = jnp.lexsort(keys)
+    m_words = mw[order]
+    m_count = jnp.where(is_multi, count, 0)[order]
+    m_l4 = jnp.where(is_multi[:, None], l4, 0)[order]
+    m_r4 = jnp.where(is_multi[:, None], r4, 0)[order]
+    n_multi = jnp.sum(is_multi).astype(jnp.int32)
+
+    sw = _sentinelize(words, is_single)
+    keys = tuple(sw[:, i] for i in range(W - 1, -1, -1))
+    order_s = jnp.lexsort(keys)
+    ext = _ext_code_of(l4, is_single) | (_ext_code_of(r4, is_single) << jnp.uint8(4))
+    s_words = sw[order_s]
+    s_ext = jnp.where(is_single, ext, jnp.uint8(0))[order_s]
+    n_single = jnp.sum(is_single).astype(jnp.int32)
+    return m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single
+
+
+@jax.jit
+def expand_singles(s_words, s_ext, n_single):
+    """Compact singleton rows -> full (words, count, l4, r4) format."""
+    N = s_words.shape[0]
+    valid = jnp.arange(N) < n_single
+    left = (s_ext & jnp.uint8(0xF)).astype(jnp.uint8)
+    right = (s_ext >> jnp.uint8(4)).astype(jnp.uint8)
+    cnt = jnp.where(valid, 1, 0).astype(jnp.int32)
+    return s_words, cnt, _ext_onehot(left, cnt), _ext_onehot(right, cnt)
+
+
+@jax.jit
+def merge_aggregates4(a, b, c, d):
+    """Merge four (words, count, l4, r4) sets in ONE sort + dedup."""
+    words = jnp.concatenate([a[0], b[0], c[0], d[0]])
+    cnt = jnp.concatenate([a[1], b[1], c[1], d[1]])
+    l4 = jnp.concatenate([a[2], b[2], c[2], d[2]])
+    r4 = jnp.concatenate([a[3], b[3], c[3], d[3]])
+    w, cnt, l4, r4 = _lexsort_rows(words, cnt, l4, r4)
+    return _dedup_sorted(w, cnt, l4, r4)
+
+
 @partial(jax.jit, static_argnames=("dmin_thres",))
 def finalize_table(u_words, u_count, u_l4, u_r4, n_unique, dmin_thres: int = 2):
     """Clamp counts, call extensions, purge, and compact the final table.

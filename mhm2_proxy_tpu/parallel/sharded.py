@@ -240,7 +240,9 @@ class ShardedCounter:
     """
 
     def __init__(self, k: int, mesh: Mesh, dmin_thres: int = 2, bucket_cap: int | None = None,
-                 use_supermers: bool = True, smax: int = 24):
+                 use_supermers: bool = True, smax: int = 24,
+                 compact_singles: bool = True):
+        self.compact_singles = compact_singles
         self.use_supermers = use_supermers
         self.smax = smax
         self.k = k
@@ -271,6 +273,9 @@ class ShardedCounter:
             jax.vmap(partial(C.finalize_table, dmin_thres=dmin_thres))
         )
         self._merge_ctg = jax.jit(jax.vmap(_merge_ctg_aggregates))
+        self._split = jax.jit(jax.vmap(C.split_run))
+        self._expand_singles = jax.jit(jax.vmap(C.expand_singles))
+        self._merge4 = jax.jit(jax.vmap(C.merge_aggregates4))
         self._apply_ctg = jax.jit(
             jax.vmap(partial(_apply_ctg_rules, dmin_thres=dmin_thres))
         )
@@ -419,12 +424,48 @@ class ShardedCounter:
             f"{self.spill_rounds} spill rounds, {self.dropped} dropped"
         )
 
+    # -- read-pass LSM with the singleton pre-filter (GQF analog) ----------
+    # Runs are stored split: multi part (count >= 2, full format) + compact
+    # singleton part (~4x smaller rows), trimmed to occupancy after every
+    # merge (reference kcount-gpu/gqf.hpp:358-378, sizing kmer_dht.cpp:151).
+
+    def _split_trim(self, agg):
+        m_w, m_c, m_l4, m_r4, n_m, s_w, s_e, n_s = self._split(*agg)
+        pm = min(C.pow2_rows(int(jnp.max(n_m))), m_w.shape[1])
+        ps = min(C.pow2_rows(int(jnp.max(n_s))), s_w.shape[1])
+        return (m_w[:, :pm], m_c[:, :pm], m_l4[:, :pm], m_r4[:, :pm], n_m,
+                s_w[:, :ps], s_e[:, :ps], n_s)
+
+    def _merge_split(self, a, b):
+        merged = self._merge4(
+            a[:4], self._expand_singles(a[5], a[6], a[7]),
+            b[:4], self._expand_singles(b[5], b[6], b[7]),
+        )
+        return self._split_trim(merged)
+
+    @staticmethod
+    def _split_rows(run) -> int:
+        return run[0].shape[1] + run[5].shape[1]
+
+    def resident_run_bytes(self) -> int:
+        return sum(sum(x.nbytes for x in run if hasattr(x, "nbytes")) for run in self.runs)
+
     def _push_run(self, agg):
-        self.runs.append(agg)
-        while len(self.runs) >= 2 and self.runs[-1][0].shape[1] >= self.runs[-2][0].shape[1] // 2:
+        if not self.compact_singles:
+            self.runs.append(agg)
+            while len(self.runs) >= 2 and self.runs[-1][0].shape[1] >= self.runs[-2][0].shape[1] // 2:
+                b = self.runs.pop()
+                a = self.runs.pop()
+                self.runs.append(self._merge(*a[:4], *b[:4]))
+            return
+        self.runs.append(self._split_trim(agg))
+        while (
+            len(self.runs) >= 2
+            and self._split_rows(self.runs[-1]) >= self._split_rows(self.runs[-2]) // 2
+        ):
             b = self.runs.pop()
             a = self.runs.pop()
-            self.runs.append(self._merge(*a[:4], *b[:4]))
+            self.runs.append(self._merge_split(a, b))
 
     def _push_ctg_run(self, agg):
         self.ctg_runs.append(agg)
@@ -441,7 +482,14 @@ class ShardedCounter:
         while len(self.runs) > 1:
             b = self.runs.pop()
             a = self.runs.pop()
-            self.runs.append(self._merge(*a[:4], *b[:4]))
+            if self.compact_singles:
+                self.runs.append(self._merge_split(a, b))
+            else:
+                self.runs.append(self._merge(*a[:4], *b[:4]))
+        if self.runs and self.compact_singles:
+            # fold the singleton sideband back into full format for finalize
+            a = self.runs[0]
+            self.runs[0] = self._merge(*a[:4], *self._expand_singles(a[5], a[6], a[7]))
         if not self.runs:
             W = words32_for_k(self.k)
             z = jnp.full((self.S, 1, W), 0xFFFFFFFF, U32)
