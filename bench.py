@@ -5,11 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 The headline metric is k-mers/s through the COMPLETE production round on one
 chip: record extraction (incl. minimizer shard hash) -> per-block sort +
 segment-reduce aggregation -> LSM merges -> finalize (extension calls, purge,
-compaction) -> de Bruijn reciprocal-edge build. Stages are fenced with
-block_until_ready so the number is an honest end-to-end wall measurement
-(round-1 review: the old headline timed only the steady-state aggregate step
-under pipelined dispatch; that microbench is still reported in detail as
-"aggregate_only_kmers_per_sec" with its variance).
+compaction) -> de Bruijn reciprocal-edge build. Stages are fenced by actually
+FETCHING data: under the axon TPU tunnel jax.block_until_ready is a no-op
+(execution is async server-side; only a device_get is a real barrier), so the
+round-1 style block_until_ready fences measured dispatch, not execution. Each
+fence costs one ~10-30 ms tunnel round-trip, negligible against multi-second
+stages; the steady-state microbench instead chains its iterations inside one
+jit (data-dependent, nothing can be elided) and differences two chain lengths
+to cancel the fixed overhead.
 
 vs_baseline is measured against 10 Mkmers/s/core, the ballpark of the
 reference's CPU backend on one core (BASELINE.md: the reference publishes no
@@ -24,6 +27,15 @@ import time
 import numpy as np
 
 BASELINE_KMERS_PER_SEC = 10e6
+
+
+def fence(tree):
+    """Real execution barrier: fetch one element of every array leaf."""
+    import jax
+
+    for x in jax.tree.leaves(tree):
+        if hasattr(x, "ndim"):
+            np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
 
 def main():
@@ -51,7 +63,7 @@ def main():
         qual_ok = rng.random((B, L)) > 0.02
         lens = np.full((B,), L, np.int32)
         blocks.append((jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens)))
-    jax.block_until_ready(blocks)
+    fence(blocks)
     kmers_total = n_blocks * B * (L - k - 1)
 
     def run_round():
@@ -60,14 +72,14 @@ def main():
         t0 = time.perf_counter()
         for cb, qb, lb in blocks:
             store.add_reads_block(cb, qb, lb)
-        jax.block_until_ready(store.runs)
+        fence(store.runs)
         t1 = time.perf_counter()
         table = store.finalize()
-        jax.block_until_ready((table.words, table.count))
+        fence((table.words, table.count))
         t2 = time.perf_counter()
         tbl = _pad_pow2(table)
         edges = build_edges(tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
-        jax.block_until_ready(edges)
+        fence(edges)
         t3 = time.perf_counter()
         times["count_aggregate_s"] = t1 - t0
         times["finalize_s"] = t2 - t1
@@ -84,25 +96,38 @@ def main():
     best = min(reps, key=lambda t: t["total_s"])
     value = kmers_total / best["total_s"]
 
-    # steady-state aggregate-only microbench (round-1 continuity metric)
-    @jax.jit
-    def agg_step(codes, qual_ok, lens):
-        rec = C.read_kmer_records(codes, qual_ok, lens, k, m, n_shards=8)
-        agg = C.aggregate_records(
-            rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
-        )
-        return agg[0], agg[4]
+    # steady-state aggregate-only microbench (round-1 continuity metric):
+    # iterations chained by data dependence inside one jit; two chain lengths
+    # difference away compile/dispatch/RTT overhead
+    def agg_chain(iters):
+        @jax.jit
+        def many(codes, qual_ok, lens):
+            def body(i, carry):
+                codes, acc = carry
+                rec = C.read_kmer_records(codes, qual_ok, lens, k, m, n_shards=8)
+                agg = C.aggregate_records(
+                    rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+                )
+                bump = (agg[0][0, 0] & jnp.uint32(3)).astype(jnp.uint8)
+                codes = jnp.where(codes < 4, (codes + bump) % 4, codes)
+                return codes, acc + agg[4].astype(jnp.int64)
+
+            return jax.lax.fori_loop(0, iters, body, (codes, jnp.int64(0)))[1]
+
+        return many
 
     cb, qb, lb = blocks[0]
-    w, n = agg_step(cb, qb, lb)
-    w.block_until_ready()
     micro = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            w, n = agg_step(cb, qb, lb)
-        w.block_until_ready()
-        micro.append(B * (L - k - 1) * 10 / (time.perf_counter() - t0))
+    for _ in range(3):
+        ts = {}
+        for iters in (2, 12):
+            mfn = agg_chain(iters)
+            np.asarray(mfn(cb, qb, lb))  # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(mfn(cb, qb, lb))
+            ts[iters] = time.perf_counter() - t0
+        per = (ts[12] - ts[2]) / 10
+        micro.append(B * (L - k - 1) / per)
 
     detail = {
         "platform": jax.devices()[0].platform,
@@ -113,6 +138,7 @@ def main():
         "round_total_s_all_reps": [round(t["total_s"], 4) for t in reps],
         "aggregate_only_kmers_per_sec": round(statistics.median(micro), 1),
         "aggregate_only_spread": [round(min(micro), 1), round(max(micro), 1)],
+        "fencing": "device_get per stage (block_until_ready is a no-op via tunnel)",
     }
     print(
         json.dumps(

@@ -26,22 +26,36 @@ def main():
     ap.add_argument("--out-dir", default="ci/data")
     ap.add_argument("--genomes", type=int, default=3)
     ap.add_argument("--genome-len", type=int, default=20000)
+    ap.add_argument("--genome-len-step", type=int, default=5000)
     ap.add_argument("--coverage", type=float, default=18.0)
+    ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--seed", type=int, default=20260817)
+    ap.add_argument("--name", default="synth_sample")
+    ap.add_argument("--coassembly", action="store_true",
+                    help="12-genome >=1Mbp community (reference arcticsynth "
+                    "12-sample coassembly analog, ci_asm_qual_test-full.sh)")
     args = ap.parse_args()
+    if args.coassembly:
+        args.genomes = 12
+        args.genome_len = 70000
+        args.genome_len_step = 3000
+        args.coverage = 10.0
+        args.name = "synth_coassembly"
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     all_ids, all_seqs, all_quals = [], [], []
+    total_bp = 0
     for g in range(args.genomes):
         # varied abundances like a real metagenome
-        cov = args.coverage * (1.0 + 0.5 * g)
-        genome = random_genome(rng, args.genome_len + 5000 * g)
+        cov = args.coverage * (1.0 + 0.5 * (g % 4))
+        genome = random_genome(rng, args.genome_len + args.genome_len_step * g)
+        total_bp += len(genome)
         write_fasta(
-            os.path.join(args.out_dir, f"genome{g}.fasta"), [(g, genome, 1.0)]
+            os.path.join(args.out_dir, f"{args.name}-genome{g}.fasta"), [(g, genome, 1.0)]
         )
         ids, seqs, quals = simulate_reads(
-            rng, genome, coverage=cov, read_len=100, insert_mean=220,
+            rng, genome, coverage=cov, read_len=args.read_len, insert_mean=260,
             insert_sd=40, err_rate=0.004,
         )
         ids = [f"g{g}.{i.decode()}".encode() for i in ids]
@@ -57,8 +71,8 @@ def main():
             ids.append(all_ids[2 * p + j])
             seqs.append(all_seqs[2 * p + j])
             quals.append(all_quals[2 * p + j])
-    write_fastq(os.path.join(args.out_dir, "synth_sample.fastq"), ids, seqs, quals)
-    print(f"wrote {n_pairs} pairs + {args.genomes} genomes to {args.out_dir}")
+    write_fastq(os.path.join(args.out_dir, f"{args.name}.fastq"), ids, seqs, quals)
+    print(f"wrote {n_pairs} pairs + {args.genomes} genomes ({total_bp} bp) to {args.out_dir}")
 
 
 if __name__ == "__main__":

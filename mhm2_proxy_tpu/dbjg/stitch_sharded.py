@@ -1,0 +1,279 @@
+"""Decentralized multi-shard path stitching (device-side pointer doubling).
+
+The single-shard stitch (dbjg/stitch.py) runs pointer doubling in host numpy
+over the full edge set; at multi-host scale that all-to-host step is the wall
+the reference avoids by walking in place and only shipping fragment links
+(dbjg_traversal.cpp:517-567, reduce_prefix ids l.583-587). Here the doubling
+itself is distributed: every shard owns the 2T walk states of its table rows,
+and each doubling round gathers (succ, dist) at the current successor via a
+bucketized all_to_all — O(log L) bulk-synchronous rounds in one jitted
+shard_map, no table-sized host arrays. Contig ids come from an exclusive scan
+over per-shard emitted-start counts (reduce_prefix analog). The host only
+receives the compacted on-path states (one row per contig base) and the start
+k-mers — peak host memory O(total contig bases), not O(table).
+
+Semantics (cycle cut at minimum global node id, single-direction emission via
+start < mirror(terminal)) are identical to stitch.py; the two paths are
+equivalence-tested.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops import bitkmer as bk
+from ..parallel.sharded import _bucketize, device_get_global
+
+I32 = jnp.int32
+
+
+def _mesh_axis(mesh):
+    axes = tuple(mesh.axis_names)
+    return axes if len(axes) > 1 else axes[0], P(axes)
+
+
+def _stitch_states_fn(mesh, S: int, T: int, k: int):
+    """Build the jitted shard_map computing per-state path assignments."""
+    T2 = 2 * T
+    axis, spec = _mesh_axis(mesh)
+    rounds = max(1, int(np.ceil(np.log2(S * T2 + 1))) + 1)
+
+    def body(uu, r_gid, r_port, r_ok, l_gid, l_port, l_ok, first_b, last_b, count):
+        uu = uu[0]
+        r_gid, r_port, r_ok = r_gid[0], r_port[0], r_ok[0]
+        l_gid, l_port, l_ok = l_gid[0], l_port[0], l_ok[0]
+        first_b, last_b, count = first_b[0], last_b[0], count[0]
+
+        sid = I32(0)
+        for name in mesh.axis_names:
+            sid = sid * I32(mesh.shape[name]) + jax.lax.axis_index(name).astype(I32)
+        own = sid * T2 + jnp.arange(T2, dtype=I32)  # my global state ids
+
+        def gather_pair(va, vb, gids):
+            """(va[g], vb[g]) for global state ids g, via two all_to_alls."""
+            rows = gids % T2
+            tgt = gids // T2
+            qid = jnp.arange(T2, dtype=I32)
+            payload = jnp.stack([rows, qid, jnp.ones((T2,), I32)], axis=1)
+            buckets, _, _ = _bucketize(payload, tgt, jnp.ones((T2,), bool), S, T2)
+            recv = jax.lax.all_to_all(
+                buckets, axis, split_axis=0, concat_axis=0, tiled=True
+            ).reshape(S * T2, 3)
+            r_row = jnp.clip(recv[:, 0], 0, T2 - 1)
+            back = jnp.stack(
+                [va[r_row], vb[r_row], recv[:, 1], recv[:, 2]], axis=-1
+            ).reshape(S, T2, 4)
+            ret = jax.lax.all_to_all(
+                back, axis, split_axis=0, concat_axis=0, tiled=True
+            ).reshape(S * T2, 4)
+            dest = jnp.where(ret[:, 3] > 0, ret[:, 2], T2)
+            outa = jnp.zeros((T2 + 1,), I32).at[dest].set(ret[:, 0], mode="drop")[:T2]
+            outb = jnp.zeros((T2 + 1,), I32).at[dest].set(ret[:, 1], mode="drop")[:T2]
+            return outa, outb
+
+        def doubling(succ):
+            term = succ < 0
+            nxt0 = jnp.where(term, own, succ)
+            d0 = jnp.where(term, 0, 1).astype(I32)
+
+            def step(_, c):
+                nxt, d = c
+                rn, rd = gather_pair(nxt, d, nxt)
+                return rn, d + rd
+
+            nxt, d = jax.lax.fori_loop(0, rounds, step, (nxt0, d0))
+            return nxt, d, term
+
+        # per-state successor: s = 2*node + port (0 = exit Left, 1 = exit R)
+        succ_L = jnp.where(l_ok & uu, 2 * l_gid + (1 - l_port), -1).astype(I32)
+        succ_R = jnp.where(r_ok & uu, 2 * r_gid + (1 - r_port), -1).astype(I32)
+        succ = jnp.stack([succ_L, succ_R], axis=1).reshape(T2)
+        state_valid = jnp.stack([uu, uu], axis=1).reshape(T2)
+
+        nxt, d, term = doubling(succ)
+        t_at, _ = gather_pair(term.astype(I32), term.astype(I32), nxt)
+        in_cycle = state_valid & (t_at == 0)
+
+        # cycle leaders: min global node id over the cycle
+        mini0 = own >> 1
+        nx20 = jnp.where(term, own, succ)
+
+        def min_step(_, c):
+            mini, nx2 = c
+            rm, rn2 = gather_pair(mini, nx2, nx2)
+            return jnp.minimum(mini, rm), rn2
+
+        mini, _ = jax.lax.fori_loop(0, rounds, min_step, (mini0, nx20))
+        leader_state = 2 * mini + 1
+        cut = in_cycle & (succ >= 0) & (succ == leader_state)
+        succ2 = jnp.where(cut, -1, succ)
+
+        nxt2, d2, term2 = doubling(succ2)
+        t2_at, _ = gather_pair(term2.astype(I32), term2.astype(I32), nxt2)
+        still_cyc = state_valid & (t2_at == 0)
+
+        # predecessor marking: each state notifies its succ2 target's owner
+        v = succ2 >= 0
+        tgt = jnp.where(v, succ2 // T2, S)
+        payload = jnp.stack([jnp.where(v, succ2 % T2, 0), v.astype(I32)], axis=1)
+        buckets, _, _ = _bucketize(payload, tgt, v, S, T2)
+        recv = jax.lax.all_to_all(
+            buckets, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(S * T2, 2)
+        dest = jnp.where(recv[:, 1] > 0, recv[:, 0], T2)
+        has_pred = (
+            jnp.zeros((T2 + 1,), I32).at[dest].set(1, mode="drop")[:T2].astype(bool)
+        )
+
+        is_start = state_valid & ~still_cyc & ~has_pred
+        was_cycle_start = in_cycle & is_start
+        emit = is_start & (was_cycle_start | (own < (nxt2 ^ 1)))
+        plen = d2 + 1
+
+        # global path ids: exclusive scan over per-shard emit counts
+        # (reference reduce_prefix contig-id scan, dbjg_traversal.cpp:583-587)
+        n_local = jnp.sum(emit).astype(I32)
+        counts = jax.lax.all_gather(n_local, axis).reshape(S)
+        offset = jnp.cumsum(counts)[sid] - n_local
+        rank = jnp.where(emit, offset + jnp.cumsum(emit.astype(I32)) - 1, -1)
+
+        # start-of-terminal registry: emitted starts notify their terminal's
+        # owner; every state then reads (path id, start dist) at its terminal
+        tgt2 = jnp.where(emit, nxt2 // T2, S)
+        payload2 = jnp.stack(
+            [jnp.where(emit, nxt2 % T2, 0), rank, d2, emit.astype(I32)], axis=1
+        )
+        buckets2, _, _ = _bucketize(payload2, tgt2, emit, S, T2)
+        recv2 = jax.lax.all_to_all(
+            buckets2, axis, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(S * T2, 4)
+        dest2 = jnp.where(recv2[:, 3] > 0, recv2[:, 0], T2)
+        sot = jnp.full((T2 + 1,), -1, I32).at[dest2].set(recv2[:, 1], mode="drop")[:T2]
+        dstart = jnp.zeros((T2 + 1,), I32).at[dest2].set(recv2[:, 2], mode="drop")[:T2]
+        path_of_state, d_start = gather_pair(sot, dstart, nxt2)
+        on_path = state_valid & ~still_cyc & (path_of_state >= 0)
+        path_of_state = jnp.where(on_path, path_of_state, -1)
+        pos = jnp.where(on_path, d_start - d2, 0)
+
+        # emitted base per state: exit R -> last base, exit L -> comp(first)
+        port = jnp.arange(T2, dtype=I32) & 1
+        row = jnp.arange(T2, dtype=I32) >> 1
+        base = jnp.where(port == 1, last_b[row], 3 - first_b[row]).astype(I32)
+        cnt = count[row]
+
+        out = jnp.stack([path_of_state, pos, base, cnt], axis=1)  # (T2, 4)
+        srt = jnp.stack([rank, plen, port, row], axis=1)  # (T2, 4)
+        return (
+            out[None], on_path[None], srt[None], emit[None],
+            jnp.sum(on_path).astype(I32)[None], n_local[None],
+        )
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,) * 10, out_specs=(spec,) * 6,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_rows(rows, mask, cap: int):
+    """Per-shard: move mask-selected rows to the front, take cap of them."""
+
+    def one(rows, mask):
+        order = jnp.argsort(~mask, stable=True)
+        return rows[order[:cap]], mask[order[:cap]]
+
+    return jax.vmap(one)(rows, mask)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_starts(srt, emit, words, cap: int):
+    def one(srt, emit, words):
+        order = jnp.argsort(~emit, stable=True)[:cap]
+        s = srt[order]
+        return jnp.concatenate(
+            [s.astype(jnp.uint32), words[jnp.clip(s[:, 3], 0, words.shape[0] - 1)]],
+            axis=1,
+        ), emit[order]
+
+    return jax.vmap(one)(srt, emit, words)
+
+
+def stitch_paths_sharded(table, edges: dict, k: int):
+    """Distributed path decomposition -> list of (canonical seq, depth)."""
+    mesh = table.mesh
+    S = table.S
+    T = table.words.shape[1]
+    if S * T * 2 >= 2 ** 31:
+        raise ValueError("state ids exceed int32; shard the table wider")
+    words = table.words
+    w_last = (k - 1) // 16
+    sh_last = 2 * (15 - ((k - 1) % 16))
+
+    with jax.set_mesh(mesh):
+        first_b = ((words[:, :, 0] >> jnp.uint32(30)) & jnp.uint32(3)).astype(I32)
+        last_b = ((words[:, :, w_last] >> jnp.uint32(sh_last)) & jnp.uint32(3)).astype(I32)
+        fn = _stitch_states_fn(mesh, S, T, k)
+        out, on_path, srt, emit, n_op, n_emit = fn(
+            edges["uu"], edges["r_gid"], edges["r_port"], edges["r_ok"],
+            edges["l_gid"], edges["l_port"], edges["l_ok"],
+            first_b, last_b, table.count.astype(I32),
+        )
+        n_op_h = np.asarray(device_get_global(n_op))
+        n_emit_h = np.asarray(device_get_global(n_emit))
+        n_paths = int(n_emit_h.sum())
+        if n_paths == 0:
+            return []
+        cap_op = max(1, min(2 * T, int(n_op_h.max())))
+        cap_st = max(1, min(2 * T, int(n_emit_h.max())))
+        rows, row_mask = _compact_rows(out, on_path, cap_op)
+        starts, start_mask = _compact_starts(srt, emit, words, cap_st)
+
+    # host side: O(contig bases) rows only
+    rows = np.asarray(device_get_global(rows)).reshape(-1, 4)
+    row_mask = np.asarray(device_get_global(row_mask)).reshape(-1)
+    starts = np.asarray(device_get_global(starts)).reshape(-1, 4 + words.shape[-1])
+    start_mask = np.asarray(device_get_global(start_mask)).reshape(-1)
+    rows = rows[row_mask]
+    starts = starts[start_mask]
+
+    s_rank = starts[:, 0].astype(np.int64)
+    s_plen = starts[:, 1].astype(np.int64)
+    s_port = starts[:, 2].astype(np.int64)
+    s_words = starts[:, 4:]
+    plen = np.zeros(n_paths, np.int64)
+    plen[s_rank] = s_plen
+    clen = k + plen - 1
+    offsets = np.zeros(n_paths + 1, np.int64)
+    np.cumsum(clen, out=offsets[1:])
+    buf = np.zeros(offsets[-1], np.uint8)
+    path = rows[:, 0].astype(np.int64)
+    pos = rows[:, 1].astype(np.int64)
+    base = rows[:, 2].astype(np.uint8)
+    cnt = rows[:, 3].astype(np.int64)
+    buf[offsets[path] + (k - 1) + pos] = base
+    # start k-mers: oriented full k bases
+    kmers = np.asarray(bk.codes_from_words(jnp.asarray(s_words), k)).astype(np.uint8)
+    rc = (3 - kmers[:, ::-1]).astype(np.uint8)
+    oriented = np.where((s_port == 1)[:, None], kmers, rc)
+    kpos = offsets[s_rank][:, None] + np.arange(k)[None, :]
+    buf[kpos.reshape(-1)] = oriented.reshape(-1)
+
+    depth_sum = np.zeros(n_paths, np.int64)
+    np.add.at(depth_sum, path, cnt)
+
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    comp_tbl = str.maketrans("ACGT", "TGCA")
+    out_list = []
+    for p in range(n_paths):
+        seq = lut[buf[offsets[p] : offsets[p + 1]]].tobytes().decode()
+        rc_s = seq.translate(comp_tbl)[::-1]
+        if rc_s < seq:
+            seq = rc_s
+        out_list.append((seq, depth_sum[p] / (len(seq) - k + 2)))
+    return out_list

@@ -1,10 +1,12 @@
-"""Multi-shard de Bruijn traversal: cross-shard edge building + global stitch.
+"""Multi-shard de Bruijn traversal: cross-shard edge building + stitch.
 
 Converts the reference's rank-hopping RPC walks (dbjg_traversal.cpp:245-289,
 one synchronous RPC per remote hop) into two batched cross-shard lookup
-collectives — one per walk direction — followed by the same host path
-decomposition as the single-shard path. Edge/conflict/self-loop semantics are
-identical to dbjg/traverse.py::build_edges.
+collectives — one per walk direction — followed by distributed pointer
+doubling (stitch_sharded.py). Edge/conflict/self-loop semantics are identical
+to dbjg/traverse.py::build_edges. Nothing table-sized ever reaches the host:
+edge arrays stay sharded on device and the stitch ships only compacted
+on-path states.
 """
 
 from __future__ import annotations
@@ -16,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bitkmer as bk
-from ..parallel.sharded import ShardedTable, sharded_lookup, device_get_global
-from .stitch import stitch_paths
+from ..parallel.sharded import ShardedTable, sharded_lookup
+from .stitch_sharded import stitch_paths_sharded
 
 I32 = jnp.int32
 
@@ -39,14 +41,61 @@ def _neighbor_queries(words, count, left, right, n, k: int):
     return jax.vmap(one_shard)(words, count, left, right, n)
 
 
-def build_edges_sharded(table: ShardedTable, k: int):
-    """Compute reciprocal UU edges across shards.
+@partial(jax.jit, static_argnames=("k", "S", "m"))
+def _edge_conditions(
+    uu, b_rc, p_rc, a_first, a_last,
+    r_found, b_left, b_right, b_idx,
+    l_found, p_left, p_right, p_idx,
+    b_shard, p_shard, k: int, S: int, m: int,
+):
+    """Elementwise edge/termination rules on the sharded (S, T) arrays."""
+    T = uu.shape[1]
+    self_gid = (
+        jnp.arange(S, dtype=I32)[:, None] * T + jnp.arange(T, dtype=I32)[None, :]
+    )
+    b_gid = b_shard * T + b_idx
+    p_gid = p_shard * T + p_idx
+    b_uu = (b_left < 4) & (b_right < 4)
+    p_uu = (p_left < 4) & (p_right < 4)
+    b_left_or = jnp.where(b_rc, 3 - b_right.astype(I32), b_left.astype(I32))
+    p_right_or = jnp.where(p_rc, 3 - p_left.astype(I32), p_right.astype(I32))
+    r_ok = uu & r_found & b_uu & (b_left_or == a_first.astype(I32)) & (b_gid != self_gid)
+    l_ok = uu & l_found & p_uu & (p_right_or == a_last.astype(I32)) & (p_gid != self_gid)
+    r_port = jnp.where(b_rc, 1, 0).astype(I32)
+    l_port = jnp.where(p_rc, 0, 1).astype(I32)
 
-    Returns a dict of flat (S*T,) numpy arrays usable by stitch_paths, with
-    neighbor indices encoded globally as owner_shard * T + row.
+    # walk-termination classification, same rules as traverse.build_edges
+    # (reference WalkTermStats, dbjg_traversal.cpp:114-141)
+    def _term(found, n_left, n_right, ok, self_hit):
+        n_uu = (n_left < 4) & (n_right < 4)
+        deadend = uu & (~found | (found & ((n_left == 5) | (n_right == 5))))
+        fork = uu & found & ~((n_left == 5) | (n_right == 5)) & ((n_left == 4) | (n_right == 4))
+        conflict = uu & found & n_uu & ~ok & ~self_hit
+        repeat = uu & found & self_hit
+        return jnp.stack(
+            [deadend.sum(), fork.sum(), conflict.sum(), repeat.sum()]
+        ).astype(jnp.int64)
+
+    term_stats = jnp.stack([
+        _term(r_found, b_left, b_right, r_ok, b_gid == self_gid),
+        _term(l_found, p_left, p_right, l_ok, p_gid == self_gid),
+    ])
+    edges = dict(
+        uu=uu, r_gid=b_gid, r_port=r_port, r_ok=r_ok,
+        l_gid=p_gid, l_port=l_port, l_ok=l_ok,
+    )
+    return edges, term_stats
+
+
+def build_edges_sharded(table: ShardedTable, k: int):
+    """Compute reciprocal UU edges across shards, kept sharded on device.
+
+    Returns (edges, term_stats): edges is a dict of (S, T) device arrays
+    (uu mask, global node id + port + ok per direction) consumed by
+    stitch_paths_sharded; term_stats is a (2, 4) numpy array of walk
+    termination counts (deadend/fork/conflict/repeat per direction).
     """
     S = table.S
-    T = table.words.shape[1]
     with jax.set_mesh(table.mesh):
         uu, b_can, b_rc, p_can, p_rc, a_first, a_last = _neighbor_queries(
             table.words, table.count, table.left, table.right, table.n, k
@@ -69,55 +118,13 @@ def build_edges_sharded(table: ShardedTable, k: int):
     with jax.set_mesh(table.mesh):
         b_shard = owner_shards(b_can)
         p_shard = owner_shards(p_can)
-
-    # pull to host and evaluate edge conditions globally
-    uu = np.asarray(device_get_global(uu))
-    b_rc = np.asarray(device_get_global(b_rc))
-    p_rc = np.asarray(device_get_global(p_rc))
-    a_first = np.asarray(device_get_global(a_first)).astype(np.uint8)
-    a_last = np.asarray(device_get_global(a_last)).astype(np.uint8)
-    r_found = np.asarray(device_get_global(r_found))
-    l_found = np.asarray(device_get_global(l_found))
-    b_left, b_right = np.asarray(device_get_global(b_left)), np.asarray(device_get_global(b_right))
-    p_left, p_right = np.asarray(device_get_global(p_left)), np.asarray(device_get_global(p_right))
-    b_idx, p_idx = np.asarray(device_get_global(b_idx)), np.asarray(device_get_global(p_idx))
-    b_shard, p_shard = np.asarray(device_get_global(b_shard)), np.asarray(device_get_global(p_shard))
-
-    self_gid = (np.arange(S)[:, None] * T + np.arange(T)[None, :]).astype(np.int64)
-    b_gid = b_shard.astype(np.int64) * T + b_idx
-    p_gid = p_shard.astype(np.int64) * T + p_idx
-
-    b_uu = (b_left < 4) & (b_right < 4)
-    p_uu = (p_left < 4) & (p_right < 4)
-    b_left_or = np.where(b_rc, 3 - b_right, b_left)
-    p_right_or = np.where(p_rc, 3 - p_left, p_right)
-    r_ok = uu & r_found & b_uu & (b_left_or == a_first) & (b_gid != self_gid)
-    l_ok = uu & l_found & p_uu & (p_right_or == a_last) & (p_gid != self_gid)
-    r_port = np.where(b_rc, 1, 0)
-    l_port = np.where(p_rc, 0, 1)
-
-    # walk-termination classification, same rules as traverse.build_edges
-    # (reference WalkTermStats, dbjg_traversal.cpp:114-141)
-    def _term(found, n_left, n_right, ok, self_hit):
-        n_uu = (n_left < 4) & (n_right < 4)
-        deadend = uu & (~found | (found & ((n_left == 5) | (n_right == 5))))
-        fork = uu & found & ~((n_left == 5) | (n_right == 5)) & ((n_left == 4) | (n_right == 4))
-        conflict = uu & found & n_uu & ~ok & ~self_hit
-        repeat = uu & found & self_hit
-        return [int(deadend.sum()), int(fork.sum()), int(conflict.sum()), int(repeat.sum())]
-
-    term_stats = np.array([
-        _term(r_found, b_left, b_right, r_ok, b_gid == self_gid),
-        _term(l_found, p_left, p_right, l_ok, p_gid == self_gid),
-    ])
-
-    flat = lambda x: x.reshape(S * T)
-    return dict(
-        uu=flat(uu),
-        r_idx=flat(b_gid), r_port=flat(r_port), r_ok=flat(r_ok),
-        l_idx=flat(p_gid), l_port=flat(l_port), l_ok=flat(l_ok),
-        term_stats=term_stats,
-    )
+        edges, term_stats = _edge_conditions(
+            uu, b_rc, p_rc, a_first, a_last,
+            r_found, b_left, b_right, b_idx,
+            l_found, p_left, p_right, p_idx,
+            b_shard, p_shard, k, S, m,
+        )
+    return edges, np.asarray(jax.device_get(term_stats))
 
 
 def traverse_debruijn_graph_sharded(table: ShardedTable, k: int, stats: dict | None = None):
@@ -127,11 +134,9 @@ def traverse_debruijn_graph_sharded(table: ShardedTable, k: int, stats: dict | N
     points (cycles break at the minimum *global node id*, which orders kmers
     by (owner shard, kmer) instead of globally by kmer).
     """
-    edges = build_edges_sharded(table, k)
+    edges, term_stats = build_edges_sharded(table, k)
     if stats is not None:
         from .traverse import term_stats_to_dict
 
-        stats["terminations"] = term_stats_to_dict(edges["term_stats"])
-    words = np.asarray(device_get_global(table.words)).reshape(-1, table.words.shape[-1])
-    count = np.asarray(device_get_global(table.count)).reshape(-1)
-    return stitch_paths(edges, words, count, k)
+        stats["terminations"] = term_stats_to_dict(term_stats)
+    return stitch_paths_sharded(table, edges, k)

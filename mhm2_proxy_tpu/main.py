@@ -100,10 +100,18 @@ def run_pipeline(opts: Options) -> Assembler:
                 max(opts.kmer_lens),
             )
             log.info(f"[gfa] wrote final_assembly.gfa2 with {n_edges} edges")
-        if opts.post_asm_align:
-            from .models.post_asm import post_asm_align_stats
+        if opts.post_asm_align or opts.post_asm_abundance:
+            from .models.post_asm import post_asm_align
 
-            post_asm_align_stats(asm)
+            t0 = time.time()
+            post_asm_align(
+                asm,
+                sam_fname=os.path.join(out_dir, "final_assembly.sam")
+                if opts.post_asm_align else None,
+                abundance_fname=os.path.join(out_dir, "final_assembly_depths.tsv")
+                if opts.post_asm_abundance else None,
+            )
+            log.info(f"[module] post_asm_align {time.time()-t0:.2f}s")
         asm.print_stats()
         log.info("Finished")
     finally:

@@ -1,10 +1,12 @@
 """Post-assembly read-to-contig alignment (full-MHM2 --post-asm-align parity).
 
 The reference guide documents post-assembly alignment of reads to the final
-assembly producing SAM-ish alignment stats (docs/mhm_guide.md:211-233),
-backed by the SSW/ADEPT kernels. Here reads are anchored to contigs by
-shared-k-mer lookup against the contig k-mer table (same machinery as
-counting) and scored with the batched Smith-Waterman kernel on device.
+assembly producing SAM output plus per-contig abundances (depths) for binning
+(docs/mhm_guide.md:211-233), backed by the SSW/ADEPT kernels. Here reads are
+anchored to contigs by shared-k-mer lookup against the contig k-mer table
+(same machinery as counting), scored with the batched Smith-Waterman kernel
+on device, CIGARs come from the batched device traceback DP, and abundances
+are aligned-base sums per contig (jgi_summarize-style depth table).
 """
 
 from __future__ import annotations
@@ -14,21 +16,32 @@ import jax.numpy as jnp
 
 from ..ops import bitkmer as bk
 from ..ops.lookup import table_lookup
-from ..ops.ssw import sw_align
+from ..ops.ssw import sw_align, sw_cigar_batch
+
+_ACGT = np.frombuffer(b"ACGTN", np.uint8)
 
 
 def build_contig_index(contigs: list[str], k: int = 31):
-    """Sorted (kmer -> contig id, offset) arrays over contig k-mers."""
-    W = bk.strings_to_words(["A" * k], k).shape[1]
+    """Sorted (kmer -> contig id, offset) arrays over contig k-mers.
+
+    Also carries a single concatenated contig code buffer (+ per-contig
+    start/len) so reference windows around anchors are one vectorized gather
+    instead of a per-read python slice loop.
+    """
     all_words = []
     all_cid = []
     all_off = []
     all_rc = []
+    clen = np.array([len(s) for s in contigs], np.int64)
+    cstart = np.zeros(len(contigs) + 1, np.int64)
+    np.cumsum(clen, out=cstart[1:])
+    concat = np.full(int(cstart[-1]), 255, np.uint8)
     for cid, seq in enumerate(contigs):
+        codes = bk.ascii_to_codes(seq.encode())
+        concat[cstart[cid] : cstart[cid + 1]] = codes
         if len(seq) < k:
             continue
-        codes = bk.ascii_to_codes(seq.encode())[None, :]
-        words = np.asarray(bk.kmer_words_from_codes(jnp.asarray(codes), k))[0]
+        words = np.asarray(bk.kmer_words_from_codes(jnp.asarray(codes[None, :]), k))[0]
         cw, was_rc = bk.canonicalize_words(jnp.asarray(words), k)
         all_words.append(np.asarray(cw))
         all_rc.append(np.asarray(was_rc))
@@ -41,17 +54,24 @@ def build_contig_index(contigs: list[str], k: int = 31):
     off = np.concatenate(all_off)
     rc = np.concatenate(all_rc)
     order = np.lexsort(tuple(words[:, w] for w in range(words.shape[1] - 1, -1, -1)))
-    return dict(words=words[order], cid=cid[order], off=off[order], rc=rc[order], k=k)
+    return dict(
+        words=words[order], cid=cid[order], off=off[order], rc=rc[order], k=k,
+        concat=concat, cstart=cstart, clen=clen,
+    )
 
 
 def align_reads_to_contigs(
     codes: np.ndarray, lens: np.ndarray, contigs: list[str],
     index=None, k: int = 31,
     match=1, mismatch=1, gap_open=1, gap_extend=1,
+    cigars: bool = False,
 ):
     """Anchor + align a block of reads against contigs.
 
-    Returns dict with per-read contig id (-1 unanchored), score, identity.
+    Returns dict with per-read contig id (-1 unanchored), score, identity,
+    begin/end spans, orientation (rev), the window offset within the contig
+    (win_lo, so contig position = win_lo + r_begin), the oriented codes the
+    alignment used, and — when cigars=True — SSW-style CIGARs + NM counts.
     """
     if index is None:
         index = build_contig_index(contigs, k)
@@ -76,6 +96,7 @@ def align_reads_to_contigs(
     cid = np.where(found & (lens >= index["k"]), index["cid"][idx], -1)
     # orientation of the read relative to the contig
     rel_rc = q_rc ^ index["rc"][idx]
+    rel_rc = np.where(cid >= 0, rel_rc, False)
     # reverse-complement reads that anchor in reverse orientation
     j = np.arange(L)[None, :]
     rev_idx = np.clip(lens[:, None] - 1 - j, 0, L - 1)
@@ -86,20 +107,21 @@ def align_reads_to_contigs(
     # mid kmer position flips under rc: pos' = len - k - pos
     mid = np.where(rel_rc, np.maximum(lens - index["k"], 0) - mid, mid)
 
-    # build padded ref windows around the anchor for SW scoring
+    # vectorized ref windows around the anchor (one gather over the
+    # concatenated contig buffer; no per-read python loop)
     Lr = L + 64
-    refs = np.full((B, Lr), 255, np.uint8)
-    r_len = np.zeros(B, np.int32)
-    for i in range(B):
-        if cid[i] < 0:
-            continue
-        seq = contigs[cid[i]]
-        center = int(index["off"][idx[i]])
-        lo = max(0, center - int(mid[i]) - 32)
-        window = seq[lo : lo + Lr]
-        rc = bk.ascii_to_codes(window.encode())
-        refs[i, : len(rc)] = rc
-        r_len[i] = len(rc)
+    center = index["off"][idx].astype(np.int64)
+    c_len = np.where(cid >= 0, index["clen"][np.clip(cid, 0, None)], 0)
+    lo = np.clip(center - mid - 32, 0, None)
+    lo = np.where(cid >= 0, lo, 0)
+    gstart = index["cstart"][np.clip(cid, 0, None)] + lo
+    gidx = gstart[:, None] + np.arange(Lr)[None, :]
+    in_contig = (np.arange(Lr)[None, :] < (c_len - lo)[:, None]) & (cid >= 0)[:, None]
+    refs = np.where(
+        in_contig, index["concat"][np.clip(gidx, 0, len(index["concat"]) - 1)], 255
+    ).astype(np.uint8)
+    r_len = np.where(cid >= 0, np.minimum(c_len - lo, Lr), 0).astype(np.int32)
+
     aln = sw_align(
         jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(refs), jnp.asarray(r_len),
         match=match, mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
@@ -109,13 +131,51 @@ def align_reads_to_contigs(
     # alignments are judged over the span that actually aligned
     qspan = np.maximum(np.asarray(aln["q_end"]) - np.asarray(aln["q_begin"]) + 1, 1)
     identity = np.where(cid >= 0, score / (match * qspan), 0.0)
-    return dict(cid=cid, score=score, identity=identity.astype(np.float32),
-                q_begin=np.asarray(aln["q_begin"]), q_end=np.asarray(aln["q_end"]),
-                r_begin=np.asarray(aln["r_begin"]), r_end=np.asarray(aln["r_end"]))
+    out = dict(cid=cid, score=score, identity=identity.astype(np.float32),
+               q_begin=np.asarray(aln["q_begin"]), q_end=np.asarray(aln["q_end"]),
+               r_begin=np.asarray(aln["r_begin"]), r_end=np.asarray(aln["r_end"]),
+               rev=rel_rc, win_lo=lo.astype(np.int64), codes=codes)
+    if cigars:
+        aln_np = {kk: np.asarray(v) for kk, v in aln.items()}
+        aln_np["q_begin"] = np.where(cid >= 0, aln_np["q_begin"], -1)
+        aln_np["q_end"] = np.where(cid >= 0, aln_np["q_end"], -1)
+        cg, nm = sw_cigar_batch(
+            codes, lens, refs, r_len, aln_np,
+            match=match, mismatch=mismatch, gap_open=gap_open, gap_extend=gap_extend,
+        )
+        out["cigar"] = cg
+        out["nm"] = nm
+    return out
 
 
-def post_asm_align_stats(asm, sample_reads: int = 2048, k: int = 31):
-    """Align a sample of the packed reads back to the final contigs."""
+def sam_record(name: str, out: dict, i: int, lens: np.ndarray) -> str:
+    """One SAM line (v1.6 mandatory fields + NM tag) for read i of a block."""
+    n = int(lens[i])
+    if out["cid"][i] < 0 or n == 0:
+        return f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*"
+    seq = _ACGT[np.minimum(out["codes"][i, :n], 4)].tobytes().decode()
+    flag = 16 if out["rev"][i] else 0
+    pos = int(out["win_lo"][i] + out["r_begin"][i]) + 1  # SAM is 1-based
+    cig = out["cigar"][i] if out.get("cigar") else "*"
+    nm = int(out["nm"][i]) if "nm" in out else 0
+    return (
+        f"{name}\t{flag}\tContig{int(out['cid'][i])}\t{pos}\t60\t{cig}"
+        f"\t*\t0\t0\t{seq}\t*\tNM:i:{nm}\tAS:i:{int(out['score'][i])}"
+    )
+
+
+def post_asm_align(
+    asm, sample_reads: int | None = None, k: int = 31, block_reads: int = 2048,
+    sam_fname: str | None = None, abundance_fname: str | None = None,
+):
+    """Align packed reads back to the final contigs; optional SAM + depths.
+
+    sample_reads=None aligns every read (reference --post-asm-align aligns
+    all; the stats sampler passes a bound). Returns summary stats. Abundance
+    is the per-contig mean aligned-read depth over its full length, written
+    as the jgi_summarize-style `contigName contigLen totalAvgDepth` table the
+    guide documents for binning (docs/mhm_guide.md:222-233).
+    """
     contigs = [c.seq for c in asm.contigs]
     if not contigs:
         return dict(aligned_frac=0.0, mean_identity=0.0)
@@ -123,19 +183,49 @@ def post_asm_align_stats(asm, sample_reads: int = 2048, k: int = 31):
     tot = 0
     anchored = 0
     ident_sum = 0.0
-    for codes, quals, lens in asm.packed_reads.blocks(512, min_len=k):
-        out = align_reads_to_contigs(codes, lens, contigs, index=index, k=k)
+    aligned_bases = np.zeros(len(contigs), np.int64)
+    sam = open(sam_fname, "w") if sam_fname else None
+    if sam:
+        sam.write("@HD\tVN:1.6\tSO:unknown\n")
+        for cidx, c in enumerate(contigs):
+            sam.write(f"@SQ\tSN:Contig{cidx}\tLN:{len(c)}\n")
+        sam.write("@PG\tID:mhm2_proxy_tpu\tPN:mhm2_proxy_tpu\n")
+    rid = 0
+    for codes, quals, lens in asm.packed_reads.blocks(block_reads, min_len=k):
+        out = align_reads_to_contigs(
+            codes, lens, contigs, index=index, k=k, cigars=sam is not None
+        )
         mask = lens > 0
         tot += int(mask.sum())
         hit = (out["cid"] >= 0) & mask
         anchored += int(hit.sum())
         ident_sum += float(out["identity"][hit].sum())
-        if tot >= sample_reads:
+        span = np.where(hit, out["r_end"] - out["r_begin"] + 1, 0)
+        np.add.at(aligned_bases, np.clip(out["cid"], 0, None), span)
+        if sam:
+            for i in np.nonzero(mask)[0]:
+                sam.write(sam_record(f"read_{rid + int(i)}", out, int(i), lens) + "\n")
+        rid += int(codes.shape[0])
+        if sample_reads is not None and tot >= sample_reads:
             break
+    if sam:
+        sam.close()
     stats = dict(
         aligned_frac=anchored / max(tot, 1),
         mean_identity=ident_sum / max(anchored, 1),
         sampled_reads=tot,
     )
+    if abundance_fname:
+        with open(abundance_fname, "w") as f:
+            f.write("contigName\tcontigLen\ttotalAvgDepth\n")
+            for cidx, c in enumerate(contigs):
+                depth = aligned_bases[cidx] / max(len(c), 1)
+                f.write(f"Contig{cidx}\t{len(c)}\t{depth:.4f}\n")
+        stats["abundance_file"] = abundance_fname
     asm.log.info(f"post-asm-align: {stats}")
     return stats
+
+
+def post_asm_align_stats(asm, sample_reads: int = 2048, k: int = 31):
+    """Align a sample of the packed reads back to the final contigs."""
+    return post_asm_align(asm, sample_reads=sample_reads, k=k, block_reads=512)

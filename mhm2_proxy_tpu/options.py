@@ -36,6 +36,7 @@ class Options:
     gfa: bool = False
     profile: bool = False
     post_asm_align: bool = False
+    post_asm_abundance: bool = False
 
     def save(self, fname: str):
         with open(fname, "w") as f:
@@ -81,7 +82,11 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--profile", action="store_true",
                    help="capture a jax profiler trace of the first round")
     p.add_argument("--post-asm-align", action="store_true",
-                   help="align sampled reads back to the final assembly")
+                   help="align all reads back to the final assembly; writes "
+                        "final_assembly.sam (docs/mhm_guide.md:211-221)")
+    p.add_argument("--post-asm-abundance", action="store_true",
+                   help="compute per-contig depths from read alignments; writes "
+                        "final_assembly_depths.tsv (docs/mhm_guide.md:222-233)")
     p.add_argument("--config", default=None, help="load options from a config file")
     p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
@@ -115,6 +120,7 @@ def parse_args(argv=None) -> Options:
         gfa=a.gfa,
         profile=a.profile,
         post_asm_align=a.post_asm_align,
+        post_asm_abundance=a.post_asm_abundance,
     )
 
 

@@ -35,3 +35,115 @@ def test_align_reads_direct(rng):
     out = align_reads_to_contigs(codes, lens, contigs, index=idx, k=31)
     assert (out["cid"] == 0).all()
     assert (out["score"] == L).all()  # perfect match, match score 1
+
+
+def test_post_asm_sam_and_abundance(rng, tmp_path):
+    """SAM records reconstruct the contig base-for-base; depths ~ coverage."""
+    from mhm2_proxy_tpu.models.post_asm import post_asm_align
+    from mhm2_proxy_tpu.oracle.pyref import revcomp_str
+
+    genome = random_genome(rng, 4000)
+    ids, seqs, quals = simulate_reads(rng, genome, coverage=15.0, read_len=90, err_rate=0.0)
+    cfg = AssemblerConfig(kmer_lens=(21, 33), block_reads=512)
+    asm = Assembler(cfg)
+    asm.add_interleaved(seqs, quals)
+    asm.run()
+    sam_f = str(tmp_path / "aln.sam")
+    ab_f = str(tmp_path / "depths.tsv")
+    stats = post_asm_align(asm, sam_fname=sam_f, abundance_fname=ab_f)
+    assert stats["aligned_frac"] > 0.85, stats
+
+    contigs = {f"Contig{i}": c.seq for i, c in enumerate(asm.contigs)}
+    n_aln = 0
+    with open(sam_f) as f:
+        for line in f:
+            if line.startswith("@"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            assert len(fields) >= 11
+            name, flag, rname, pos, mapq, cigar = fields[:6]
+            seq = fields[9]
+            if int(flag) & 4:
+                continue
+            n_aln += 1
+            ref = contigs[rname]
+            # replay the CIGAR: every '=' op must match the contig exactly
+            qi, ri = 0, int(pos) - 1
+            num = ""
+            nm_mismatch = 0
+            for ch in cigar:
+                if ch.isdigit():
+                    num += ch
+                    continue
+                n = int(num)
+                num = ""
+                if ch == "S":
+                    qi += n
+                elif ch == "=":
+                    assert seq[qi : qi + n] == ref[ri : ri + n], (name, cigar)
+                    qi += n
+                    ri += n
+                elif ch == "X":
+                    nm_mismatch += n
+                    qi += n
+                    ri += n
+                elif ch == "I":
+                    qi += n
+                elif ch == "D":
+                    ri += n
+            nm = int([x for x in fields if x.startswith("NM:i:")][0][5:])
+            assert nm >= nm_mismatch
+    assert n_aln > 200
+
+    # abundance table: total depth mass ~ aligned bases / contig length
+    with open(ab_f) as f:
+        header = f.readline().split()
+        assert header == ["contigName", "contigLen", "totalAvgDepth"]
+        rows = [line.split() for line in f]
+    assert len(rows) == len(asm.contigs)
+    total_len = sum(int(r[1]) for r in rows)
+    weighted_depth = sum(int(r[1]) * float(r[2]) for r in rows) / total_len
+    # err_rate 0, coverage 15: average depth across contigs should be near 15
+    assert 7.0 < weighted_depth < 25.0, weighted_depth
+
+
+def test_cigar_batch_matches_host(rng):
+    """Batched device CIGAR == host-DP oracle on random mutated pairs."""
+    import jax.numpy as jnp
+    from mhm2_proxy_tpu.ops.ssw import sw_align, sw_cigar_host, sw_cigar_batch
+
+    bases = "ACGT"
+    cases = []
+    for _ in range(24):
+        n = int(rng.integers(20, 70))
+        ref = "".join(rng.choice(list(bases), n))
+        q = list(ref)
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, len(q)))
+            op = int(rng.integers(0, 3))
+            if op == 0:
+                q[p] = bases[int(rng.integers(0, 4))]
+            elif op == 1:
+                q.insert(p, bases[int(rng.integers(0, 4))])
+            elif len(q) > 5:
+                del q[p]
+        cases.append(("".join(q), ref))
+    Lq = max(len(q) for q, _ in cases)
+    Lr = max(len(r) for _, r in cases)
+    B = len(cases)
+    q = np.full((B, Lq), 255, np.uint8)
+    r = np.full((B, Lr), 255, np.uint8)
+    ql = np.zeros(B, np.int32)
+    rl = np.zeros(B, np.int32)
+    for i, (qs, rs) in enumerate(cases):
+        q[i, : len(qs)] = ascii_to_codes(qs.encode())
+        r[i, : len(rs)] = ascii_to_codes(rs.encode())
+        ql[i], rl[i] = len(qs), len(rs)
+    scoring = dict(match=2, mismatch=2, gap_open=3, gap_extend=1, ambiguity=2)
+    aln = sw_align(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(r), jnp.asarray(rl), **scoring)
+    aln = {k: np.asarray(v) for k, v in aln.items()}
+    cigs, mms = sw_cigar_batch(q, ql, r, rl, aln, **scoring)
+    for i, (qs, rs) in enumerate(cases):
+        hc, hm = sw_cigar_host(qs, rs, aln, i, **scoring)
+        assert cigs[i] == hc, (i, qs, rs, cigs[i], hc)
+        assert mms[i] == hm, (i, qs, rs)

@@ -131,3 +131,26 @@ def test_ssw_batch_vs_host_random(rng):
     for i, (qs, rs, *_) in enumerate(cases):
         exp = host_score(qs, rs, **scoring)
         assert scores[i] == exp, (i, qs, rs, scores[i], exp)
+
+
+def test_pallas_sw_matches_xla():
+    """Pallas VMEM kernel == XLA scan formulation (interpret mode on CPU)."""
+    import jax
+    from mhm2_proxy_tpu.ops.pallas_ssw import pallas_sw_align_ends
+    from mhm2_proxy_tpu.ops.ssw import _sw_align_ends_xla
+
+    rng = np.random.default_rng(7)
+    B, Lq, Lr = 16, 24, 40
+    ref = rng.integers(0, 5, (B, Lr)).astype(np.uint8)
+    q = np.array(ref[:, 4 : 4 + Lq])
+    mut = rng.random((B, Lq)) < 0.15
+    q[mut] = ((q[mut] + rng.integers(1, 4, int(mut.sum()))) % 4).astype(np.uint8)
+    ql = rng.integers(8, Lq + 1, B).astype(np.int32)
+    rl = rng.integers(10, Lr + 1, B).astype(np.int32)
+    args = (jnp.asarray(q), jnp.asarray(ql), jnp.asarray(ref), jnp.asarray(rl))
+    interpret = jax.default_backend() != "tpu"
+    for scoring in SCORINGS:
+        a = _sw_align_ends_xla(*args, **scoring)
+        b = pallas_sw_align_ends(*args, **scoring, interpret=interpret)
+        for x, y, nm in zip(a, b, ("score", "q_end", "r_end")):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=nm)
