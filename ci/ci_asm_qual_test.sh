@@ -23,14 +23,17 @@ python ci/check_asm_quality.py \
   --golden ci/good-synth-sample.txt \
   --threshold 0.01
 
-echo "=== sharded backend (8-device CPU mesh) against the same golden ==="
+echo "=== sharded backend (8-device CPU mesh), k=21,33 golden ==="
+# shard-count independence means the sharded run must reproduce the
+# single-shard metrics exactly; k=21,33 keeps the 8-device-on-2-core CPU
+# emulation affordable while still gating the full exchange/LSM/stitch path
 XLA_FLAGS="--xla_force_host_platform_device_count=8 ${XLA_FLAGS:-}" \
-python -m mhm2_proxy_tpu -r ci/data/synth_sample.fastq -k 21 33 55 77 99 \
+python -m mhm2_proxy_tpu -r ci/data/synth_sample.fastq -k 21 33 \
   --shards 8 -o ci/run_sharded
 python ci/check_asm_quality.py \
   --assembly ci/run_sharded/final_assembly.fasta \
   --genomes ci/data/synth_sample-genome*.fasta \
-  --golden ci/good-synth-sample.txt \
+  --golden ci/good-synth-sample-k2133.txt \
   --threshold 0.01
 
 echo "=== gate sensitivity self-test: pre-high-k checkpoint must fail ==="

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bitkmer as bk
-from ..ops.lookup import table_lookup
+from ..ops.lookup import table_join, table_lookup  # noqa: F401 (lookup kept for small-Q callers)
 
 U32 = jnp.uint32
 
@@ -55,7 +55,19 @@ def build_edges(words, count, left, right, n, k: int):
     # right side: B_or = A[1:] + right
     b_or = bk.forward_base_words(words, right, k)
     b_can, b_rc = bk.canonicalize_words(b_or, k)
-    b_idx, b_found = table_lookup(words, n, b_can)
+    # left side: P_or = left + A[:-1]
+    p_or = bk.backward_base_words(words, left, k)
+    p_can, p_rc = bk.canonicalize_words(p_or, k)
+    # both directions answered by ONE sort-join (TPU: sorts beat the
+    # bisection loop's dynamic row gathers by a wide margin). Queries from
+    # non-UU rows are sentinelized: their results are never used, and letting
+    # garbage keys collide with real ones could exceed the join's bounded
+    # per-key multiplicity.
+    q = jnp.concatenate([b_can, p_can])
+    q = jnp.where(jnp.concatenate([uu, uu])[:, None], q, jnp.uint32(0xFFFFFFFF))
+    idx2, found2 = table_join(words, n, q)
+    b_idx, b_found = idx2[:T], found2[:T]
+    p_idx, p_found = idx2[T:], found2[T:]
     b_left = left[b_idx]
     b_right = right[b_idx]
     b_uu = (b_left < 4) & (b_right < 4)
@@ -67,10 +79,6 @@ def build_edges(words, count, left, right, n, k: int):
     # (canonical-aligned) exits via R; entering via R (rc) exits via L.
     r_port = jnp.where(b_rc, jnp.int32(1), jnp.int32(0))  # entry port on B
 
-    # left side: P_or = left + A[:-1]
-    p_or = bk.backward_base_words(words, left, k)
-    p_can, p_rc = bk.canonicalize_words(p_or, k)
-    p_idx, p_found = table_lookup(words, n, p_can)
     p_left = left[p_idx]
     p_right = right[p_idx]
     p_uu = (p_left < 4) & (p_right < 4)

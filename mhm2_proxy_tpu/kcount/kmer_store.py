@@ -87,19 +87,33 @@ class KmerCountStore:
         # split: (m_words, m_count, m_l4, m_r4, n_m, s_words, s_ext, n_s)
         self.runs: list[tuple] = []
         self.ctg_runs: list[tuple] = []
+        self._block_rows = 0  # capacity of one block push (trim threshold)
 
     # -- read pass ---------------------------------------------------------
 
     def add_reads_block(self, codes, qual_ok, lens):
-        """Count one block of reads (codes (B,L) u8, qual_ok (B,L) bool)."""
+        """Count one block of reads (codes (B,L) u8, qual_ok (B,L) bool).
+
+        Fully asynchronous: the fused push is ONE dispatch with NO host
+        fetch, so consecutive blocks pipeline on the device; merges are
+        scheduled by buffer capacity (deterministic), and occupancy trimming
+        — the only data-dependent step — happens only at large-merge
+        boundaries (see _merge_split).
+        """
+        if self.compact_singles:
+            run, _ = C.block_to_split_run(
+                jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens),
+                self.k, self.m,
+            )
+            if self._block_rows == 0:
+                self._block_rows = self._split_rows(run)
+            self._push_split_run(run)
+            return
         rec = C.read_kmer_records(
             jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), self.k, self.m
         )
         agg = C.aggregate_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
-        if self.compact_singles:
-            self._push_split_run(self._split_trim(agg))
-        else:
-            self._push_run(self.runs, agg, C.merge_aggregates)
+        self._push_run(self.runs, agg, C.merge_aggregates)
 
     @staticmethod
     def _push_run(runs, agg, merge_fn):
@@ -112,13 +126,14 @@ class KmerCountStore:
 
     # -- split-run (singleton-filtered) LSM ---------------------------------
 
-    def _split_trim(self, agg):
-        """Split an aggregate into (multi, singles) and trim to occupancy."""
-        m_w, m_c, m_l4, m_r4, n_m, s_w, s_e, n_s = C.split_run(*agg)
-        pm = min(C.pow2_rows(int(n_m)), m_w.shape[0])
-        ps = min(C.pow2_rows(int(n_s)), s_w.shape[0])
-        return (m_w[:pm], m_c[:pm], m_l4[:pm], m_r4[:pm], n_m,
-                s_w[:ps], s_e[:ps], n_s)
+    @staticmethod
+    def _trim(run, n_m: int, n_s: int):
+        """Trim a split run to pow2 occupancy (host sizes already fetched)."""
+        m_w, m_c, m_l4, m_r4, nm, s_w, s_e, ns = run
+        pm = min(C.pow2_rows(n_m), m_w.shape[0])
+        ps = min(C.pow2_rows(n_s), s_w.shape[0])
+        return (m_w[:pm], m_c[:pm], m_l4[:pm], m_r4[:pm], nm,
+                s_w[:ps], s_e[:ps], ns)
 
     @staticmethod
     def _split_rows(run) -> int:
@@ -129,7 +144,15 @@ class KmerCountStore:
             a[:4], C.expand_singles(a[5], a[6], a[7]),
             b[:4], C.expand_singles(b[5], b[6], b[7]),
         )
-        return self._split_trim(merged)
+        run = C.split_run(*merged)
+        # occupancy trims need a host fetch (a tunnel round-trip); only large
+        # merges are worth syncing for — small runs stay capacity-sized and
+        # the pipeline stays fetch-free (memory stays bounded: untrimmed
+        # runs total < 2 * trim threshold)
+        if self._block_rows and self._split_rows(run) >= 4 * self._block_rows:
+            ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
+            return self._trim(run, int(ns[0]), int(ns[1]))
+        return run
 
     def _push_split_run(self, run):
         self.runs.append(run)
@@ -203,58 +226,100 @@ class KmerCountStore:
 # ---------------------------------------------------------------------------
 
 
+def _pack_ctg(pmin, pmax, dmin):
+    """pmin | pmax << 6 | dmin << 16 in one u32 lane (pairs are 0..45)."""
+    return (
+        pmin.astype(jnp.uint32)
+        | (pmax.astype(jnp.uint32) << jnp.uint32(6))
+        | (jnp.clip(dmin, 0, MAX_KMER_COUNT).astype(jnp.uint32) << jnp.uint32(16))
+    )
+
+
+def _unpack_ctg(p):
+    return (
+        (p & jnp.uint32(0x3F)).astype(jnp.int32),
+        ((p >> jnp.uint32(6)) & jnp.uint32(0x3F)).astype(jnp.int32),
+        (p >> jnp.uint32(16)).astype(jnp.int32),
+    )
+
+
+def _ctg_flag_compact(w, keep, packed):
+    """Stable 1-key flag sort compacting kept rows (gather/scatter-free)."""
+    W = w.shape[-1]
+    flag = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort(
+        (flag,) + tuple(w[:, i] for i in range(W)) + (packed,),
+        num_keys=1, is_stable=True,
+    )
+    live = out[0] == 0
+    u_words = jnp.where(
+        live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF)
+    )
+    pmin, pmax, dmin = _unpack_ctg(jnp.where(live, out[1 + W], jnp.uint32(0)))
+    return u_words, pmin, pmax, dmin, jnp.sum(keep).astype(jnp.int32)
+
+
 @jax.jit
 def _aggregate_ctg_records(words, left, right, count, valid):
-    """Dedup ctg records into (words, pair_min, pair_max, depth_min, n)."""
+    """Dedup ctg records into (words, pair_min, pair_max, depth_min, n).
+
+    Gather/scatter-free (the TPU anti-pattern — see ops.count._sort_carry):
+    one variadic sort carries a packed (pair | depth << 8) lane, segmented
+    min/max run as log-doubling shifted reduces over the group-id lane, and
+    compaction is one stable flag sort.
+    """
     w = C._sentinelize(words, valid)
-    pair = (left.astype(jnp.int32) * 8 + right.astype(jnp.int32)).astype(jnp.int32)
-    big = jnp.int32(1 << 30)
-    pair_v = jnp.where(valid, pair, big)
-    depth_v = jnp.where(valid, count.astype(jnp.int32), big)
+    pair = left.astype(jnp.int32) * 8 + right.astype(jnp.int32)
+    depth = jnp.clip(count.astype(jnp.int32), 0, MAX_KMER_COUNT)
+    packed = pair.astype(jnp.uint32) | (depth.astype(jnp.uint32) << jnp.uint32(8))
     W = w.shape[-1]
-    keys = tuple(w[:, i] for i in range(W - 1, -1, -1))
-    order = jnp.lexsort(keys)
-    w, pair_v, depth_v = w[order], pair_v[order], depth_v[order]
+    out = jax.lax.sort(
+        tuple(w[:, i] for i in range(W)) + (packed,), num_keys=W, is_stable=True
+    )
+    w = jnp.stack(out[:W], axis=-1)
+    pair_v = (out[W] & jnp.uint32(0xFF)).astype(jnp.int32)
+    depth_v = (out[W] >> jnp.uint32(8)).astype(jnp.int32)
     N = w.shape[0]
     neq = jnp.any(w[1:] != w[:-1], axis=-1)
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
-    seg = jnp.cumsum(is_start) - 1
-    pmin = jax.ops.segment_min(pair_v, seg, num_segments=N)
-    pmax = jax.ops.segment_max(jnp.where(pair_v == big, -1, pair_v), seg, num_segments=N)
-    dmin = jax.ops.segment_min(depth_v, seg, num_segments=N)
-    first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
-    n_groups = seg[-1] + 1
-    in_range = jnp.arange(N) < n_groups
-    u_words = jnp.where(in_range[:, None], w[jnp.where(in_range, first_idx, 0)], jnp.uint32(0xFFFFFFFF))
-    is_sent = jnp.all(u_words == jnp.uint32(0xFFFFFFFF), axis=-1)
-    n_unique = jnp.sum(in_range & ~is_sent).astype(jnp.int32)
-    return u_words, pmin, pmax, dmin, n_unique
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    gid = jnp.cumsum(is_start.astype(jnp.int32))
+    pmin, pmax, dmin = pair_v, pair_v, depth_v
+    d = 1
+    while d < N:
+        same = jnp.concatenate([jnp.zeros((d,), bool), gid[d:] == gid[:-d]])
+        sh = lambda x: jnp.concatenate([x[:d], x[:-d]])
+        pmin = jnp.where(same, jnp.minimum(pmin, sh(pmin)), pmin)
+        pmax = jnp.where(same, jnp.maximum(pmax, sh(pmax)), pmax)
+        dmin = jnp.where(same, jnp.minimum(dmin, sh(dmin)), dmin)
+        d *= 2
+    keep = is_last & ~jnp.all(w == jnp.uint32(0xFFFFFFFF), axis=-1)
+    return _ctg_flag_compact(w, keep, _pack_ctg(pmin, pmax, dmin))
 
 
 @jax.jit
 def _merge_ctg_aggregates(a_w, a_pmin, a_pmax, a_dmin, b_w, b_pmin, b_pmax, b_dmin):
+    """Merge two deduped ctg runs: key multiplicity <= 2, so the segmented
+    min/max needs only the distance-1 shifted reduce."""
     w = jnp.concatenate([a_w, b_w])
-    pmin = jnp.concatenate([a_pmin, b_pmin])
-    pmax = jnp.concatenate([a_pmax, b_pmax])
-    dmin = jnp.concatenate([a_dmin, b_dmin])
+    packed = jnp.concatenate(
+        [_pack_ctg(a_pmin, a_pmax, a_dmin), _pack_ctg(b_pmin, b_pmax, b_dmin)]
+    )
     W = w.shape[-1]
-    keys = tuple(w[:, i] for i in range(W - 1, -1, -1))
-    order = jnp.lexsort(keys)
-    w, pmin, pmax, dmin = w[order], pmin[order], pmax[order], dmin[order]
-    N = w.shape[0]
+    out = jax.lax.sort(
+        tuple(w[:, i] for i in range(W)) + (packed,), num_keys=W, is_stable=True
+    )
+    w = jnp.stack(out[:W], axis=-1)
+    pmin, pmax, dmin = _unpack_ctg(out[W])
     neq = jnp.any(w[1:] != w[:-1], axis=-1)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
-    seg = jnp.cumsum(is_start) - 1
-    u_pmin = jax.ops.segment_min(pmin, seg, num_segments=N)
-    u_pmax = jax.ops.segment_max(pmax, seg, num_segments=N)
-    u_dmin = jax.ops.segment_min(dmin, seg, num_segments=N)
-    first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
-    n_groups = seg[-1] + 1
-    in_range = jnp.arange(N) < n_groups
-    u_words = jnp.where(in_range[:, None], w[jnp.where(in_range, first_idx, 0)], jnp.uint32(0xFFFFFFFF))
-    is_sent = jnp.all(u_words == jnp.uint32(0xFFFFFFFF), axis=-1)
-    n_unique = jnp.sum(in_range & ~is_sent).astype(jnp.int32)
-    return u_words, u_pmin, u_pmax, u_dmin, n_unique
+    same = jnp.concatenate([jnp.zeros((1,), bool), ~neq])
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    sh = lambda x: jnp.concatenate([x[:1], x[:-1]])
+    pmin = jnp.where(same, jnp.minimum(pmin, sh(pmin)), pmin)
+    pmax = jnp.where(same, jnp.maximum(pmax, sh(pmax)), pmax)
+    dmin = jnp.where(same, jnp.minimum(dmin, sh(dmin)), dmin)
+    keep = is_last & ~jnp.all(w == jnp.uint32(0xFFFFFFFF), axis=-1)
+    return _ctg_flag_compact(w, keep, _pack_ctg(pmin, pmax, dmin))
 
 
 @partial(jax.jit, static_argnames=("dmin_thres",))
@@ -286,40 +351,66 @@ def _apply_ctg_rules(
     r_valid = jnp.arange(r_words.shape[0]) < r_n
     r_keep = r_valid & (rc >= 2) & (r_lcall < 4) & (r_rcall < 4)
 
-    # merge: concat with source flags, sort, segment-combine
+    # merge: concat with source flags, variadic sort carrying packed lanes
+    # (gather/scatter-free; each key occurs at most once per source, so the
+    # group combine needs only the distance-1 shifted neighbor)
     words = jnp.concatenate([C._sentinelize(r_words, r_valid), C._sentinelize(c_words, c_valid)])
-    count = jnp.concatenate([r_count, c_count])
-    l4 = jnp.concatenate([r_l4, c_l4])
-    r4 = jnp.concatenate([r_r4, c_r4])
+    count = jnp.concatenate([r_count.astype(jnp.int32), c_count])
+    l4 = jnp.concatenate([r_l4.astype(jnp.int32), c_l4])
+    r4 = jnp.concatenate([r_r4.astype(jnp.int32), c_r4])
     is_read = jnp.concatenate([r_valid, jnp.zeros_like(c_valid)])
     keep_read = jnp.concatenate([r_keep, jnp.zeros_like(c_valid)])
     is_ctg = jnp.concatenate([jnp.zeros_like(r_valid), c_valid])
+    flags = (
+        is_read.astype(jnp.uint32)
+        | (keep_read.astype(jnp.uint32) << jnp.uint32(1))
+        | (is_ctg.astype(jnp.uint32) << jnp.uint32(2))
+    )
 
     W = words.shape[-1]
-    keys = tuple(words[:, i] for i in range(W - 1, -1, -1))
-    order = jnp.lexsort(keys)
-    words, count, l4, r4 = words[order], count[order], l4[order], r4[order]
-    is_read, keep_read, is_ctg = is_read[order], keep_read[order], is_ctg[order]
+    pay = C._pack_sums(count, l4, r4)
+    out = jax.lax.sort(
+        tuple(words[:, i] for i in range(W)) + (flags,) + pay,
+        num_keys=W, is_stable=True,
+    )
+    words = jnp.stack(out[:W], axis=-1)
+    flags = out[W]
+    count, l4, r4 = C._unpack_sums(*out[W + 1 :])
+    is_read = (flags & jnp.uint32(1)).astype(bool)
+    keep_read = ((flags >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
+    is_ctg = ((flags >> jnp.uint32(2)) & jnp.uint32(1)).astype(bool)
 
-    N = words.shape[0]
     neq = jnp.any(words[1:] != words[:-1], axis=-1)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
-    seg = jnp.cumsum(is_start) - 1
-    g_has_read = jax.ops.segment_max(is_read.astype(jnp.int32), seg, num_segments=N).astype(bool)
-    g_keep_read = jax.ops.segment_max(keep_read.astype(jnp.int32), seg, num_segments=N).astype(bool)
-    g_has_ctg = jax.ops.segment_max(is_ctg.astype(jnp.int32), seg, num_segments=N).astype(bool)
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), ~neq])
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    sh = lambda x: jnp.concatenate([x[:1], x[:-1]])
+    nb = lambda m: same_prev & sh(m)
+    # group flags as seen from the group's LAST row (group size <= 2)
+    g_has_read = is_read | nb(is_read)
+    g_keep_read = keep_read | nb(keep_read)
+    g_has_ctg = is_ctg | nb(is_ctg)
     use_read = g_has_read & (g_keep_read | ~g_has_ctg)
-    # each kmer occurs at most once per source; mask then sum within segment
-    sel_read = is_read & use_read[seg]
-    sel_ctg = is_ctg & ~use_read[seg]
-    sel = sel_read | sel_ctg
-    g_count = jnp.minimum(jax.ops.segment_sum(jnp.where(sel, count, 0), seg, num_segments=N), MAX_KMER_COUNT)
-    g_l4 = jnp.minimum(jax.ops.segment_sum(jnp.where(sel[:, None], l4, 0), seg, num_segments=N), MAX_KMER_COUNT)
-    g_r4 = jnp.minimum(jax.ops.segment_sum(jnp.where(sel[:, None], r4, 0), seg, num_segments=N), MAX_KMER_COUNT)
-    first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
-    n_groups = seg[-1] + 1
-    in_range = jnp.arange(N) < n_groups
-    u_words = jnp.where(in_range[:, None], words[jnp.where(in_range, first_idx, 0)], jnp.uint32(0xFFFFFFFF))
-    is_sent = jnp.all(u_words == jnp.uint32(0xFFFFFFFF), axis=-1)
-    n_unique = jnp.sum(in_range & ~is_sent).astype(jnp.int32)
-    return u_words, g_count, g_l4, g_r4, n_unique
+    own_sel = (is_read & use_read) | (is_ctg & ~use_read)
+    prev_sel = (nb(is_read) & use_read) | (nb(is_ctg) & ~use_read)
+    add = lambda x, sel_o, sel_p: (
+        jnp.where(sel_o, x, 0) + jnp.where(sel_p, sh(x), 0)
+    )
+    g_count = jnp.minimum(add(count, own_sel, prev_sel), MAX_KMER_COUNT)
+    g_l4 = jnp.minimum(add(l4, own_sel[:, None], prev_sel[:, None]), MAX_KMER_COUNT)
+    g_r4 = jnp.minimum(add(r4, own_sel[:, None], prev_sel[:, None]), MAX_KMER_COUNT)
+
+    keep = is_last & ~jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    packed = C._pack_sums(g_count, g_l4, g_r4)
+    flag = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort(
+        (flag,) + tuple(words[:, w] for w in range(W)) + packed,
+        num_keys=1, is_stable=True,
+    )
+    live = out[0] == 0
+    u_words = jnp.where(
+        live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF)
+    )
+    u_count, u_l4, u_r4 = C._unpack_sums(*out[1 + W :])
+    z = live.astype(jnp.int32)
+    n_unique = jnp.sum(keep).astype(jnp.int32)
+    return u_words, u_count * z, u_l4 * z[:, None], u_r4 * z[:, None], n_unique

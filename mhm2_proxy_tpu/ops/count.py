@@ -74,7 +74,10 @@ def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, d
     base_ok = qual_ok & (codes < 4)
     ext_code = jnp.where(base_ok, codes, jnp.uint8(EXT_NONE))
     # left ext of kmer i is base i-1; right ext is base i+k
-    left = jnp.concatenate([jnp.full((B, 1), EXT_NONE, jnp.uint8), ext_code[:, 0 : P - 1]], axis=1)
+    # pad, not concatenate-with-full: pad preserves the operand's sharding
+    # spec under explicit-sharding meshes (concat of a fresh unsharded
+    # constant with a sharded slice is a ShardingTypeError on a 1-shard mesh)
+    left = jnp.pad(ext_code[:, 0 : P - 1], ((0, 0), (1, 0)), constant_values=EXT_NONE)
     right = jnp.pad(ext_code, ((0, 0), (0, k + 1)), constant_values=EXT_NONE)[:, k : k + P]
 
     comp = lambda e: jnp.where(e < 4, jnp.uint8(3) - e, e)
@@ -111,12 +114,53 @@ def _sentinelize(words, valid):
     return jnp.where(valid[..., None], words, jnp.uint32(0xFFFFFFFF))
 
 
-def _lexsort_rows(words, *payload):
-    """Sort rows of (N, W) words lexicographically; returns permuted arrays."""
+def _sort_carry(words, *payload):
+    """Stable variadic sort of (N, W) rows by words, CARRYING payload lanes
+    through the sort network.
+
+    Measured on TPU v5e at 573k rows: lexsort + post-sort gathers of a 9-lane
+    payload = 16.9 ms; carrying the lanes through jax.lax.sort = 2.0 ms.
+    XLA:TPU gathers at dynamic indices are ~8x the cost of extra sort lanes,
+    so payloads ride the sort (packed to few u32 lanes by callers).
+    """
     W = words.shape[-1]
-    keys = tuple(words[:, w] for w in range(W - 1, -1, -1))
-    order = jnp.lexsort(keys)
-    return tuple(x[order] for x in ((words,) + payload))
+    ops = tuple(words[:, w] for w in range(W)) + tuple(payload)
+    out = jax.lax.sort(ops, num_keys=W, is_stable=True)
+    return (jnp.stack(out[:W], axis=-1),) + tuple(out[W:])
+
+
+def _pack_cnt_ext(count, left, right):
+    """count (<= 0xFFFF) | left << 16 | right << 24 in one u32 lane."""
+    c = jnp.clip(count, 0, MAX_KMER_COUNT).astype(jnp.uint32)
+    return c | (left.astype(jnp.uint32) << U32(16)) | (right.astype(jnp.uint32) << U32(24))
+
+
+def _unpack_cnt_ext(p):
+    cnt = (p & U32(0xFFFF)).astype(jnp.int32)
+    left = ((p >> U32(16)) & U32(0xFF)).astype(jnp.uint8)
+    right = (p >> U32(24)).astype(jnp.uint8)
+    return cnt, left, right
+
+
+def _pack_sums(count, l4, r4):
+    """(count, (N,4) l4, (N,4) r4), each value <= 0xFFFF -> 5 u32 lanes."""
+    l = l4.astype(jnp.uint32)
+    r = r4.astype(jnp.uint32)
+    return (
+        jnp.clip(count, 0, MAX_KMER_COUNT).astype(jnp.uint32),
+        l[:, 0] | (l[:, 1] << U32(16)),
+        l[:, 2] | (l[:, 3] << U32(16)),
+        r[:, 0] | (r[:, 1] << U32(16)),
+        r[:, 2] | (r[:, 3] << U32(16)),
+    )
+
+
+def _unpack_sums(c, l01, l23, r01, r23):
+    lo = lambda x: (x & U32(0xFFFF)).astype(jnp.int32)
+    hi = lambda x: (x >> U32(16)).astype(jnp.int32)
+    l4 = jnp.stack([lo(l01), hi(l01), lo(l23), hi(l23)], axis=-1)
+    r4 = jnp.stack([lo(r01), hi(r01), lo(r23), hi(r23)], axis=-1)
+    return c.astype(jnp.int32), l4, r4
 
 
 def _dedup_sorted(words, count, l4, r4):
@@ -126,21 +170,93 @@ def _dedup_sorted(words, count, l4, r4):
     (sentinel rows group at the end), plus n_unique (excluding sentinels).
     Counts saturate at the uint16 ceiling (reference kmer_count_t semantics,
     kcount_cpu.cpp:152-155) after every reduce.
+
+    Scatter-free: group sums come from one stacked int32 cumsum sampled at
+    group boundaries (a single 9-lane scatter measured 25 ms at 573k rows on
+    v5e — scatters/gathers are the TPU anti-pattern; scans and sorts are
+    ~1 ms), the group-start prefix rides forward on a cummax (exclusive
+    prefix sums are nondecreasing since all payloads are nonnegative), and
+    compaction is one stable 1-key flag sort. int32 exactness: group sums
+    here are INSTANCE counts (each input row's count is a sum of original
+    unit records), so every cumsum lane is bounded by the total number of
+    k-mer instances in the batch < 2^31.
     """
     N, W = words.shape
     neq = jnp.any(words[1:] != words[:-1], axis=-1)
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
-    seg = jnp.cumsum(is_start) - 1  # (N,) segment ids, 0-based
-    u_count = jnp.minimum(jax.ops.segment_sum(count, seg, num_segments=N), MAX_KMER_COUNT)
-    u_l4 = jnp.minimum(jax.ops.segment_sum(l4, seg, num_segments=N), MAX_KMER_COUNT)
-    u_r4 = jnp.minimum(jax.ops.segment_sum(r4, seg, num_segments=N), MAX_KMER_COUNT)
-    first_idx = jax.ops.segment_min(jnp.arange(N, dtype=jnp.int32), seg, num_segments=N)
-    n_groups = seg[-1] + 1
-    first_idx = jnp.where(jnp.arange(N) < n_groups, first_idx, 0)
-    u_words = words[first_idx]
-    u_words = jnp.where((jnp.arange(N) < n_groups)[:, None], u_words, jnp.uint32(0xFFFFFFFF))
-    is_sentinel = jnp.all(u_words == jnp.uint32(0xFFFFFFFF), axis=-1)
-    n_unique = jnp.sum((jnp.arange(N) < n_groups) & ~is_sentinel).astype(jnp.int32)
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    pay = jnp.concatenate(
+        [count[:, None].astype(jnp.int32), l4.astype(jnp.int32), r4.astype(jnp.int32)],
+        axis=1,
+    )  # (N, 9)
+    cs = jnp.cumsum(pay, axis=0, dtype=jnp.int32)
+    excl = cs - pay
+    start_excl = jax.lax.cummax(jnp.where(is_start[:, None], excl, 0), axis=0)
+    sums = jnp.minimum(cs - start_excl, MAX_KMER_COUNT)  # valid at last rows
+    is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    keep = is_last & ~is_sent
+    packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
+    flag = jnp.where(keep, U32(0), U32(1))
+    out = jax.lax.sort(
+        (flag,) + tuple(words[:, w] for w in range(W)) + packed,
+        num_keys=1, is_stable=True,
+    )
+    live = out[0] == 0
+    u_words = jnp.where(
+        live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF)
+    )
+    u_count, u_l4, u_r4 = _unpack_sums(*out[1 + W :])
+    z = live.astype(jnp.int32)
+    u_count = u_count * z
+    u_l4 = u_l4 * z[:, None]
+    u_r4 = u_r4 * z[:, None]
+    n_unique = jnp.sum(keep).astype(jnp.int32)
+    return u_words, u_count, u_l4, u_r4, n_unique
+
+
+def _dedup_sorted_bounded(words, count, l4, r4, mult: int):
+    """Dedup sorted rows whose key multiplicity is STATICALLY bounded.
+
+    Merge inputs are already-deduped runs, so a key occurs at most `mult`
+    times (2 for pair merges, 4 for merge4). Group sums then need only
+    ceil(log2(mult)) masked shift-adds instead of a global scan or
+    segment-sum scatters, and compaction is ONE stable 1-key-lane sort by a
+    drop flag (kept rows stay lexsorted; dropped/sentinel rows sink). All
+    sums are exact in int32 (<= mult * 0xFFFF) before the u16-ceiling clamp.
+    """
+    N, W = words.shape
+    pay = jnp.concatenate([count[:, None].astype(jnp.int32), l4.astype(jnp.int32), r4.astype(jnp.int32)], axis=1)
+    d = 1
+    while d < mult:
+        same = jnp.all(words[d:] == words[:-d], axis=-1)
+        add = jnp.where(
+            jnp.concatenate([jnp.zeros((d,), bool), same])[:, None],
+            jnp.concatenate([jnp.zeros((d, 9), jnp.int32), pay[:-d]]),
+            0,
+        )
+        pay = pay + add
+        d *= 2
+    neq = jnp.any(words[1:] != words[:-1], axis=-1)
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    keep = is_last & ~is_sent
+    sums = jnp.minimum(pay, MAX_KMER_COUNT)
+    packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
+    flag = jnp.where(keep, U32(0), U32(1))
+    out = jax.lax.sort(
+        (flag,) + tuple(words[:, w] for w in range(W)) + packed,
+        num_keys=1, is_stable=True,
+    )
+    sflag = out[0]
+    u_words = jnp.where(
+        (sflag == 0)[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF)
+    )
+    u_count, u_l4, u_r4 = _unpack_sums(*out[1 + W :])
+    zero = (sflag != 0).astype(jnp.int32)
+    u_count = u_count * (1 - zero)
+    u_l4 = u_l4 * (1 - zero)[:, None]
+    u_r4 = u_r4 * (1 - zero)[:, None]
+    n_unique = jnp.sum(keep).astype(jnp.int32)
     return u_words, u_count, u_l4, u_r4, n_unique
 
 
@@ -154,25 +270,35 @@ def _ext_onehot(ext, count):
 def aggregate_records(words, left, right, count, valid):
     """Aggregate raw records into a deduped (sorted) partial table.
 
-    Returns (u_words, u_count i64, u_l4 (N,4) i64, u_r4, n_unique).
+    Returns (u_words, u_count i32, u_l4 (N,4) i32, u_r4, n_unique).
+    The sort carries one packed (count|left|right) u32 lane; extension
+    one-hots are expanded only AFTER the sort (gather-free, see _sort_carry).
     """
     w = _sentinelize(words, valid)
     cnt = jnp.where(valid, count, 0).astype(jnp.int32)
-    l4 = _ext_onehot(left, cnt)
-    r4 = _ext_onehot(right, cnt)
-    w, cnt, l4, r4 = _lexsort_rows(w, cnt, l4, r4)
+    w, packed = _sort_carry(w, _pack_cnt_ext(cnt, left, right))
+    cnt, left_s, right_s = _unpack_cnt_ext(packed)
+    l4 = _ext_onehot(left_s, cnt)
+    r4 = _ext_onehot(right_s, cnt)
     return _dedup_sorted(w, cnt, l4, r4)
 
 
 @jax.jit
 def merge_aggregates(a_words, a_count, a_l4, a_r4, b_words, b_count, b_l4, b_r4):
-    """Merge two deduped partial tables (concat + sort + reduce)."""
+    """Merge two deduped partial tables (concat + sort-carry + bounded dedup).
+
+    A rank-based merge (batched bisection + scatter, no re-sort) was tried
+    and measured 7x SLOWER on TPU (734 vs 98 ms at 2x1M rows): XLA:TPU row
+    gathers at dynamic indices are far more expensive than its sort. Sorts
+    are the TPU-idiomatic join primitive; keep the sort.
+    """
     words = jnp.concatenate([a_words, b_words])
     cnt = jnp.concatenate([a_count, b_count])
     l4 = jnp.concatenate([a_l4, b_l4])
     r4 = jnp.concatenate([a_r4, b_r4])
-    w, cnt, l4, r4 = _lexsort_rows(words, cnt, l4, r4)
-    return _dedup_sorted(w, cnt, l4, r4)
+    w, *packed = _sort_carry(words, *_pack_sums(cnt, l4, r4))
+    cnt, l4, r4 = _unpack_sums(*packed)
+    return _dedup_sorted_bounded(w, cnt, l4, r4, mult=2)
 
 
 def _get_ext_calls(c4, count, dmin_thres):
@@ -241,21 +367,29 @@ def split_run(words, count, l4, r4, n_unique):
     is_single = row_valid & (count == 1)
     is_multi = row_valid & (count >= 2)
 
-    mw = _sentinelize(words, is_multi)
-    keys = tuple(mw[:, i] for i in range(W - 1, -1, -1))
-    order = jnp.lexsort(keys)
-    m_words = mw[order]
-    m_count = jnp.where(is_multi, count, 0)[order]
-    m_l4 = jnp.where(is_multi[:, None], l4, 0)[order]
-    m_r4 = jnp.where(is_multi[:, None], r4, 0)[order]
+    # input rows are already lexsorted, so ONE stable 1-key-lane flag sort
+    # per part compacts it while preserving key order (gather-free)
+    def _flag_compact(keep, *packed):
+        flag = jnp.where(keep, U32(0), U32(1))
+        out = jax.lax.sort(
+            (flag,) + tuple(words[:, w] for w in range(W)) + tuple(packed),
+            num_keys=1, is_stable=True,
+        )
+        live = (out[0] == 0)
+        w_s = jnp.where(live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF))
+        return (w_s, live) + tuple(out[1 + W :])
+
+    m_words, m_live, *m_packed = _flag_compact(is_multi, *_pack_sums(count, l4, r4))
+    m_count, m_l4, m_r4 = _unpack_sums(*m_packed)
+    z = (~m_live).astype(jnp.int32)
+    m_count = m_count * (1 - z)
+    m_l4 = m_l4 * (1 - z)[:, None]
+    m_r4 = m_r4 * (1 - z)[:, None]
     n_multi = jnp.sum(is_multi).astype(jnp.int32)
 
-    sw = _sentinelize(words, is_single)
-    keys = tuple(sw[:, i] for i in range(W - 1, -1, -1))
-    order_s = jnp.lexsort(keys)
     ext = _ext_code_of(l4, is_single) | (_ext_code_of(r4, is_single) << jnp.uint8(4))
-    s_words = sw[order_s]
-    s_ext = jnp.where(is_single, ext, jnp.uint8(0))[order_s]
+    s_words, s_live, s_ext = _flag_compact(is_single, jnp.where(is_single, ext, jnp.uint8(0)))
+    s_ext = jnp.where(s_live, s_ext, jnp.uint8(0))
     n_single = jnp.sum(is_single).astype(jnp.int32)
     return m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single
 
@@ -278,8 +412,25 @@ def merge_aggregates4(a, b, c, d):
     cnt = jnp.concatenate([a[1], b[1], c[1], d[1]])
     l4 = jnp.concatenate([a[2], b[2], c[2], d[2]])
     r4 = jnp.concatenate([a[3], b[3], c[3], d[3]])
-    w, cnt, l4, r4 = _lexsort_rows(words, cnt, l4, r4)
-    return _dedup_sorted(w, cnt, l4, r4)
+    w, *packed = _sort_carry(words, *_pack_sums(cnt, l4, r4))
+    cnt, l4, r4 = _unpack_sums(*packed)
+    return _dedup_sorted_bounded(w, cnt, l4, r4, mult=4)
+
+
+@partial(jax.jit, static_argnames=("k", "m"))
+def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
+    """Fused read-pass push: records -> aggregate -> singleton split.
+
+    One dispatch per block instead of three-plus: over a remote-tunnel TPU
+    every extra dispatch/host-sync costs a round-trip that dwarfs the actual
+    compute (~15 ms of work vs ~30 ms per RTT). Returns the 8-tuple split run
+    plus a stacked (n_multi, n_single) pair so the caller's occupancy fetch
+    (needed for the trim slice sizes) is a single transfer.
+    """
+    rec = read_kmer_records(codes, qual_ok, lens, k, m)
+    agg = aggregate_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
+    out = split_run(*agg)
+    return out, jnp.stack([out[4], out[7]])
 
 
 @partial(jax.jit, static_argnames=("dmin_thres",))
@@ -300,16 +451,17 @@ def finalize_table(u_words, u_count, u_l4, u_r4, n_unique, dmin_thres: int = 2):
     right = _get_ext_calls(r4, count, dmin_thres)
     row_valid = jnp.arange(N) < n_unique
     keep = row_valid & (count >= 2) & ~((left == EXT_X) & (right == EXT_X))
-    # compact: lexsort with drop flag as the primary key keeps kept-prefix sorted
-    w = _sentinelize(u_words, keep)
-    W = w.shape[-1]
-    keys = tuple(w[:, i] for i in range(W - 1, -1, -1))
-    order = jnp.lexsort(keys)
-    n_kept = jnp.sum(keep).astype(jnp.int32)
-    return (
-        w[order],
-        count[order].astype(jnp.int32),
-        left[order],
-        right[order],
-        n_kept,
+    # compact: rows arrive lexsorted, so a stable 1-key flag sort carrying
+    # one packed (count|left|right) lane keeps the kept prefix sorted
+    W = u_words.shape[-1]
+    flag = jnp.where(keep, U32(0), U32(1))
+    packed = _pack_cnt_ext(count, left, right)
+    out = jax.lax.sort(
+        (flag,) + tuple(u_words[:, w] for w in range(W)) + (packed,),
+        num_keys=1, is_stable=True,
     )
+    live = out[0] == 0
+    w_s = jnp.where(live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF))
+    cnt_s, left_s, right_s = _unpack_cnt_ext(out[1 + W])
+    n_kept = jnp.sum(keep).astype(jnp.int32)
+    return (w_s, cnt_s, left_s, right_s, n_kept)

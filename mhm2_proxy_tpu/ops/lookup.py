@@ -8,6 +8,8 @@ the reference's per-kmer hash probes (kcount_cpu.cpp:231-267) and RPC lookups
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +21,101 @@ def _lex_less_rows(a, b):
     for w in range(W - 2, -1, -1):
         lt = (a[..., w] < b[..., w]) | ((a[..., w] == b[..., w]) & lt)
     return lt
+
+
+def _lex_leq_rows(a, b):
+    """a <= b lexicographically for (..., W) uint32 rows."""
+    W = a.shape[-1]
+    le = a[..., W - 1] <= b[..., W - 1]
+    for w in range(W - 2, -1, -1):
+        le = (a[..., w] < b[..., w]) | ((a[..., w] == b[..., w]) & le)
+    return le
+
+
+@partial(jax.jit, static_argnames=("max_dup",))
+def table_join(table_words, n_valid, query_words, max_dup: int = 32):
+    """Sort-join lookup: same contract as table_lookup (idx, found).
+
+    TPU-preferred for large query sets: one lexsort of the (T+Q) rows plus a
+    bounded log-shift propagation replaces the bisection loop, whose ~log(T)
+    dynamic row gathers dominate on TPU (measured ~7x slower at millions of
+    rows — XLA:TPU gathers are far more expensive than its sorts).
+
+    Precondition: fewer than max_dup rows (table + queries combined) share
+    any key — true for de Bruijn neighbor joins, where a key can be queried
+    by at most 8 right-walking and 8 left-walking k-mers (one query each, so
+    <= 17 rows per key; default 32 covers it). Callers must
+    sentinelize invalid queries (all-ones) so they cannot crowd a valid key's
+    neighborhood; sentinel-keyed rows never match (table sentinels are
+    excluded by n_valid).
+    """
+    T = table_words.shape[0]
+    Q = query_words.shape[0]
+    words = jnp.concatenate([table_words, query_words])
+    # one packed u32 lane carries (is_query << 31 | source row) through the
+    # sort network — no post-sort gathers (the TPU anti-pattern)
+    src = jnp.concatenate(
+        [jnp.arange(T, dtype=jnp.uint32), jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 31)]
+    )
+    W = words.shape[1]
+    out = jax.lax.sort(
+        tuple(words[:, w] for w in range(W)) + (src,), num_keys=W, is_stable=True
+    )
+    sw = jnp.stack(out[:W], axis=-1)
+    sq = (out[W] >> jnp.uint32(31)).astype(bool)
+    ssrc = (out[W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    is_t = ~sq & (ssrc < jnp.asarray(n_valid, jnp.int32))  # valid table rows
+    prop = jnp.where(is_t, ssrc, -1)
+    # propagate the (unique) table idx across its equal-key run: sortedness
+    # makes key-equality at distance s transitive, so doubling shifts cover
+    # runs shorter than max_dup in log2(max_dup) steps, both directions
+    s = 1
+    while s < max_dup:
+        same_d = jnp.all(sw[s:] == sw[:-s], axis=-1)
+        down = jnp.concatenate([jnp.full((s,), -1, prop.dtype),
+                                jnp.where(same_d, prop[:-s], -1)])
+        up = jnp.concatenate([jnp.where(same_d, prop[s:], -1),
+                              jnp.full((s,), -1, prop.dtype)])
+        prop = jnp.maximum(prop, jnp.maximum(down, up))
+        s *= 2
+    # route answers back to query order with ONE stable 1-key sort by
+    # destination (query source ids are unique, table rows sink to the tail)
+    # instead of two scatters
+    dest = jnp.where(sq, ssrc, jnp.int32(T + Q))
+    back = jax.lax.sort((dest, prop), num_keys=1, is_stable=True)
+    ans = back[1][:Q]
+    idx = jnp.clip(ans, 0, T - 1).astype(jnp.int32)
+    found = ans >= 0
+    return idx, found
+
+
+@partial(jax.jit, static_argnames=("upper",))
+def rank_rows(table_words, n_valid, query_words, upper: bool = False):
+    """Rank of each query row in a lexsorted table prefix.
+
+    rank = #table rows < query (lower, default) or <= query (upper=True),
+    counting only the valid prefix of length n_valid. The merge primitive:
+    two sorted runs interleave at positions i + rank(other, row) without any
+    re-sort (cf. merge-path GPU merges; here a batched bisection).
+    """
+    T = table_words.shape[0]
+    Q = query_words.shape[0]
+    steps = max(1, (T - 1).bit_length() + 1) if T > 1 else 1
+    lo = jnp.zeros((Q,), jnp.int32)
+    hi = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (Q,))
+    cmp = _lex_leq_rows if upper else _lex_less_rows
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) >> 1
+        go_right = cmp(table_words[mid], query_words)
+        active = lo < hi
+        new_lo = jnp.where(active & go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        return new_lo, new_hi
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
 
 
 @jax.jit

@@ -167,50 +167,70 @@ class HierarchicalCounter(ShardedCounter):
                 return (payload[:, meta_col] & U32(0xFF)) > 0
             return ((payload[:, meta_col] >> U32(16)) & U32(1)).astype(bool)
 
+        from ..ops import count as C
+
+        do_split = self.compact_singles and not ctg_mode
+        n_agg = 8 if do_split else 5
+
+        def finish(recv):
+            agg = receive_agg(recv)
+            if do_split:
+                agg = C.split_run(*agg)
+            return agg
+
         def per_device_first(codes, qual_ok, lens, depth):
             payload, target, valid, n_kmers = make_records(codes, qual_ok, lens, depth)
             payload, target, valid, n_pre = _presum_duplicates(
                 payload, target, valid, count_of, with_count, mode
             )
             recv, lp, lt, lv, n_sent, n_over, n_comb = two_stage_exchange(payload, target, valid)
+            agg = finish(recv)
             stats = jnp.stack(
                 [n_kmers.astype(I64), n_sent.astype(I64), n_over.astype(I64),
                  (n_pre + n_comb).astype(I64)]
             )
-            return recv, lp, lt, lv, stats[None]
+            return tuple(x[None] for x in agg), lp, lt, lv, stats[None]
 
         def per_device_spill(payload, target, valid):
             recv, lp, lt, lv, n_sent, n_over, n_comb = two_stage_exchange(payload, target, valid)
+            agg = finish(recv)
             stats = jnp.stack(
                 [jnp.zeros((), I64), n_sent.astype(I64), n_over.astype(I64), n_comb.astype(I64)]
             )
-            return recv, lp, lt, lv, stats[None]
+            return tuple(x[None] for x in agg), lp, lt, lv, stats[None]
 
         spec = self._spec()
+        agg_specs = (spec,) * n_agg
         first_fn = jax.shard_map(
             per_device_first, mesh=mesh,
-            in_specs=(P(("dcn", "ici")),) * 4, out_specs=(spec,) * 5,
+            in_specs=(P(("dcn", "ici")),) * 4,
+            out_specs=(agg_specs,) + (spec,) * 4,
             check_vma=False,
         )
         spill_fn = jax.shard_map(
             per_device_spill, mesh=mesh,
-            in_specs=(spec,) * 3, out_specs=(spec,) * 5,
+            in_specs=(spec,) * 3,
+            out_specs=(agg_specs,) + (spec,) * 4,
             check_vma=False,
         )
 
-        def recv_to_agg(payloads):
-            pl = payloads.reshape(S, H * D * cap, R)
-            return jax.vmap(receive_agg)(pl)
+        def counters_of(agg, stats):
+            c = jnp.sum(stats, axis=0)
+            if do_split:
+                c = jnp.concatenate(
+                    [c, jnp.stack([jnp.max(agg[4]).astype(I64), jnp.max(agg[7]).astype(I64)])]
+                )
+            return c
 
         @jax.jit
         def first_step(codes, qual_ok, lens, depth):
-            recv, lp, lt, lv, stats = first_fn(codes, qual_ok, lens, depth)
-            return recv_to_agg(recv), lp, lt, lv, jnp.sum(stats, axis=0)
+            agg, lp, lt, lv, stats = first_fn(codes, qual_ok, lens, depth)
+            return agg, lp, lt, lv, counters_of(agg, stats)
 
         @jax.jit
         def spill_step(payload, target, valid):
-            recv, lp, lt, lv, stats = spill_fn(payload, target, valid)
-            return recv_to_agg(recv), lp, lt, lv, jnp.sum(stats, axis=0)
+            agg, lp, lt, lv, stats = spill_fn(payload, target, valid)
+            return agg, lp, lt, lv, counters_of(agg, stats)
 
         return first_step, spill_step
 
@@ -242,16 +262,13 @@ class HierarchicalCounter(ShardedCounter):
         if depths is None:
             depths = np.ones((SB,), np.int32)
         depths = put_sharded(depths, sharding)
-        push = self._push_ctg_run if ctg_mode else self._push_run
         with jax.set_mesh(self.mesh):
-            agg, lp, lt, lv, stats = first_step(codes, qual_ok, lens, depths)
-            push(agg)
-            n_left = self._account(stats)
+            agg, lp, lt, lv, counters = first_step(codes, qual_ok, lens, depths)
+            n_left = self._push_counted(agg, counters, ctg_mode)
             while n_left > 0:
                 self.spill_rounds += 1
-                agg, lp, lt, lv, stats = spill_step(lp, lt, lv)
-                push(agg)
-                n_left = self._account(stats)
+                agg, lp, lt, lv, counters = spill_step(lp, lt, lv)
+                n_left = self._push_counted(agg, counters, ctg_mode)
 
 
 def host_byte_ranges(file_size: int, n_hosts: int) -> list[tuple[int, int]]:
@@ -286,11 +303,16 @@ def write_fasta_multihost(fname: str, local_payload: bytes, process_id: int,
         sizes = [int(s) for s in np.asarray(all_sizes).reshape(-1)]
     offset = sum(sizes[:process_id])
     total = sum(sizes)
-    # rank 0 creates/truncates; others open existing (the coordinator's
-    # barrier in process_allgather orders create before writes)
+    # rank 0 creates/truncates; an explicit barrier orders the create before
+    # any peer's open (the allgather above is NOT between create and open —
+    # without this, a loaded machine loses the race and peers see ENOENT)
     if process_id == 0:
         with open(fname, "wb") as f:
             f.truncate(total)
+    if n_processes > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("write_fasta_multihost_create")
     with open(fname, "r+b") as f:
         f.seek(offset)
         f.write(local_payload)

@@ -124,25 +124,42 @@ def _presum_duplicates(payload, target, valid, count_of, with_count, mode: str):
     N, R = payload.shape
     cnt = count_of(payload).astype(I32)
     key_rows = with_count(payload, jnp.zeros((N,), I32))
-    keys = tuple(key_rows[:, i] for i in range(R - 1, -1, -1)) + (
-        jnp.where(valid, U32(0), U32(1)),
+    vkey = jnp.where(valid, U32(0), U32(1))
+    # stable variadic sort carrying (count, target) through the sort network:
+    # gather-free (XLA:TPU gathers at dynamic indices cost ~8x sort lanes)
+    out = jax.lax.sort(
+        (vkey,) + tuple(key_rows[:, i] for i in range(R)) + (cnt, target),
+        num_keys=R + 1, is_stable=True,
     )
-    order = jnp.lexsort(keys)
-    kp = key_rows[order]
-    p = payload[order]
-    t = target[order]
-    v = valid[order]
-    c = cnt[order]
-    neq = jnp.any(kp[1:] != kp[:-1], axis=-1) | (v[1:] != v[:-1])
+    sv = out[0] == 0
+    kp = jnp.stack(out[1 : 1 + R], axis=-1)
+    c = out[1 + R]
+    t = out[2 + R]
+    neq = jnp.any(kp[1:] != kp[:-1], axis=-1) | (sv[1:] != sv[:-1])
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
-    seg = jnp.cumsum(is_start) - 1
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
     if mode == "sum":
-        red = jnp.minimum(jax.ops.segment_sum(c, seg, num_segments=N), MAX_KMER_COUNT)
+        # scan-based segmented sum (scatter-free): exclusive prefix at the
+        # group start rides forward on a cummax (prefixes nondecreasing for
+        # nonnegative counts; exact in int32 since counts sum to the batch's
+        # k-mer instance total < 2^31)
+        cs = jnp.cumsum(c, dtype=I32)
+        start_excl = jax.lax.cummax(jnp.where(is_start, cs - c, 0))
+        red = jnp.minimum(cs - start_excl, MAX_KMER_COUNT)
     else:
-        red = jax.ops.segment_min(c, seg, num_segments=N)
-    v2 = v & is_start
-    p2 = with_count(p, red[seg])
-    return p2, t, v2, jnp.sum(v) - jnp.sum(v2)
+        # segmented min via log-doubling over the group-id lane
+        gid = jnp.cumsum(is_start.astype(I32))
+        red = c
+        d = 1
+        while d < N:
+            same = gid[d:] == gid[:-d]
+            cand = jnp.concatenate([red[:d], jnp.where(same, red[:-d], red[d:])])
+            red = jnp.minimum(red, cand)
+            d *= 2
+    # the group representative is its LAST row (where the scans land)
+    v2 = sv & is_last
+    p2 = with_count(kp, red)
+    return p2, t, v2, jnp.sum(valid) - jnp.sum(v2)
 
 
 def _record_fns(k: int, m: int, smax: int, n_route: int, use_supermers: bool, ctg_mode: bool):
@@ -305,50 +322,77 @@ class ShardedCounter:
             n_sent = jnp.sum(valid) - n_over
             return recv.reshape(S * cap, R), lp, lt, lv, n_sent, n_over
 
+        # receiver aggregation (and the singleton split on the read pass)
+        # runs INSIDE the same shard_map: per-device local compute (each
+        # output leaf gets a leading length-1 device dim that concatenates to
+        # the (S, ...) layout the LSM expects). This keeps the whole push one
+        # jit region — over a remote-tunnel TPU every extra dispatch or
+        # host-sync is a ~30 ms round-trip — and avoids explicit-sharding
+        # spec inference on the recv payloads (a 1-shard mesh used to
+        # misplace the 'shards' axis through the reshape boundary).
+        do_split = self.compact_singles and not ctg_mode
+        n_agg = 8 if do_split else 5
+
+        def finish(recv):
+            agg = receive_agg(recv)
+            if do_split:
+                agg = C.split_run(*agg)
+            return agg
+
         def per_device_first(codes, qual_ok, lens, depth):
             payload, target, valid, n_kmers = make_records(codes, qual_ok, lens, depth)
             payload, target, valid, n_collapsed = _presum_duplicates(
                 payload, target, valid, count_of, with_count, mode
             )
             recv, lp, lt, lv, n_sent, n_over = exchange(payload, target, valid)
+            agg = finish(recv)
             stats = jnp.stack(
                 [n_kmers.astype(I64), n_sent.astype(I64), n_over.astype(I64),
                  n_collapsed.astype(I64)]
             )
-            return recv, lp, lt, lv, stats[None]
+            return tuple(x[None] for x in agg), lp, lt, lv, stats[None]
 
         def per_device_spill(payload, target, valid):
             recv, lp, lt, lv, n_sent, n_over = exchange(payload, target, valid)
+            agg = finish(recv)
             stats = jnp.stack(
                 [jnp.zeros((), I64), n_sent.astype(I64), n_over.astype(I64),
                  jnp.zeros((), I64)]
             )
-            return recv, lp, lt, lv, stats[None]
+            return tuple(x[None] for x in agg), lp, lt, lv, stats[None]
 
+        agg_specs = (P("shards"),) * n_agg
         first_fn = jax.shard_map(
             per_device_first, mesh=mesh,
-            in_specs=(P("shards"),) * 4, out_specs=(P("shards"),) * 5,
+            in_specs=(P("shards"),) * 4,
+            out_specs=(agg_specs,) + (P("shards"),) * 4,
             check_vma=False,
         )
         spill_fn = jax.shard_map(
             per_device_spill, mesh=mesh,
-            in_specs=(P("shards"),) * 3, out_specs=(P("shards"),) * 5,
+            in_specs=(P("shards"),) * 3,
+            out_specs=(agg_specs,) + (P("shards"),) * 4,
             check_vma=False,
         )
 
-        def recv_to_agg(payloads):
-            pl = payloads.reshape(self.S, self.S * cap, R)
-            return jax.vmap(receive_agg)(pl)
+        def counters_of(agg, stats):
+            # one fetched vector carries exchange stats + trim occupancies
+            c = jnp.sum(stats, axis=0)
+            if do_split:
+                c = jnp.concatenate(
+                    [c, jnp.stack([jnp.max(agg[4]).astype(I64), jnp.max(agg[7]).astype(I64)])]
+                )
+            return c
 
         @jax.jit
         def first_step(codes, qual_ok, lens, depth):
-            recv, lp, lt, lv, stats = first_fn(codes, qual_ok, lens, depth)
-            return recv_to_agg(recv), lp, lt, lv, jnp.sum(stats, axis=0)
+            agg, lp, lt, lv, stats = first_fn(codes, qual_ok, lens, depth)
+            return agg, lp, lt, lv, counters_of(agg, stats)
 
         @jax.jit
         def spill_step(payload, target, valid):
-            recv, lp, lt, lv, stats = spill_fn(payload, target, valid)
-            return recv_to_agg(recv), lp, lt, lv, jnp.sum(stats, axis=0)
+            agg, lp, lt, lv, stats = spill_fn(payload, target, valid)
+            return agg, lp, lt, lv, counters_of(agg, stats)
 
         return first_step, spill_step
 
@@ -390,19 +434,28 @@ class ShardedCounter:
         if depths is None:
             depths = np.ones((SB,), np.int32)  # read pass: each record counts once
         depths = put_sharded(depths, sharding)
-        push = self._push_ctg_run if ctg_mode else self._push_run
         with jax.set_mesh(self.mesh):
-            agg, lp, lt, lv, stats = first_step(codes, qual_ok, lens, depths)
-            push(agg)
-            n_left = self._account(stats)
+            agg, lp, lt, lv, counters = first_step(codes, qual_ok, lens, depths)
+            n_left = self._push_counted(agg, counters, ctg_mode)
             # spill rounds: re-exchange overflowed rows until all are placed
             # (lossless under arbitrary skew; terminates since every round
             # ships cap rows per over-full destination)
             while n_left > 0:
                 self.spill_rounds += 1
-                agg, lp, lt, lv, stats = spill_step(lp, lt, lv)
-                push(agg)
-                n_left = self._account(stats)
+                agg, lp, lt, lv, counters = spill_step(lp, lt, lv)
+                n_left = self._push_counted(agg, counters, ctg_mode)
+
+    def _push_counted(self, agg, counters, ctg_mode: bool) -> int:
+        """Push one exchanged aggregate; ONE host fetch covers the exchange
+        stats and (read pass) the trim occupancies."""
+        c = np.asarray(jax.device_get(counters))
+        if ctg_mode:
+            self._push_ctg_run(agg)
+        elif self.compact_singles:
+            self._push_split(self._trim_split(agg, int(c[4]), int(c[5])))
+        else:
+            self._push_plain(agg)
+        return self._account(c[:4])
 
     def _account(self, stats) -> int:
         n_kmers, n_sent, n_over, n_collapsed = (int(x) for x in np.asarray(stats))
@@ -429,12 +482,19 @@ class ShardedCounter:
     # singleton part (~4x smaller rows), trimmed to occupancy after every
     # merge (reference kcount-gpu/gqf.hpp:358-378, sizing kmer_dht.cpp:151).
 
+    @staticmethod
+    def _trim_split(run, n_m: int, n_s: int):
+        """Trim a split (S, T, ...) run to pow2 occupancy along axis 1."""
+        m_w, m_c, m_l4, m_r4, nm, s_w, s_e, ns = run
+        pm = min(C.pow2_rows(n_m), m_w.shape[1])
+        ps = min(C.pow2_rows(n_s), s_w.shape[1])
+        return (m_w[:, :pm], m_c[:, :pm], m_l4[:, :pm], m_r4[:, :pm], nm,
+                s_w[:, :ps], s_e[:, :ps], ns)
+
     def _split_trim(self, agg):
-        m_w, m_c, m_l4, m_r4, n_m, s_w, s_e, n_s = self._split(*agg)
-        pm = min(C.pow2_rows(int(jnp.max(n_m))), m_w.shape[1])
-        ps = min(C.pow2_rows(int(jnp.max(n_s))), s_w.shape[1])
-        return (m_w[:, :pm], m_c[:, :pm], m_l4[:, :pm], m_r4[:, :pm], n_m,
-                s_w[:, :ps], s_e[:, :ps], n_s)
+        run = self._split(*agg)
+        ns = np.asarray(jax.device_get(jnp.stack([jnp.max(run[4]), jnp.max(run[7])])))
+        return self._trim_split(run, int(ns[0]), int(ns[1]))
 
     def _merge_split(self, a, b):
         merged = self._merge4(
@@ -450,15 +510,16 @@ class ShardedCounter:
     def resident_run_bytes(self) -> int:
         return sum(sum(x.nbytes for x in run if hasattr(x, "nbytes")) for run in self.runs)
 
-    def _push_run(self, agg):
-        if not self.compact_singles:
-            self.runs.append(agg)
-            while len(self.runs) >= 2 and self.runs[-1][0].shape[1] >= self.runs[-2][0].shape[1] // 2:
-                b = self.runs.pop()
-                a = self.runs.pop()
-                self.runs.append(self._merge(*a[:4], *b[:4]))
-            return
-        self.runs.append(self._split_trim(agg))
+    def _push_plain(self, agg):
+        self.runs.append(agg)
+        while len(self.runs) >= 2 and self.runs[-1][0].shape[1] >= self.runs[-2][0].shape[1] // 2:
+            b = self.runs.pop()
+            a = self.runs.pop()
+            self.runs.append(self._merge(*a[:4], *b[:4]))
+
+    def _push_split(self, run):
+        """Push an already-split, already-trimmed 8-tuple run."""
+        self.runs.append(run)
         while (
             len(self.runs) >= 2
             and self._split_rows(self.runs[-1]) >= self._split_rows(self.runs[-2]) // 2
@@ -494,8 +555,8 @@ class ShardedCounter:
             W = words32_for_k(self.k)
             z = jnp.full((self.S, 1, W), 0xFFFFFFFF, U32)
             self.runs.append(
-                (z, jnp.zeros((self.S, 1), I64), jnp.zeros((self.S, 1, 4), I64),
-                 jnp.zeros((self.S, 1, 4), I64), jnp.zeros((self.S,), I32))
+                (z, jnp.zeros((self.S, 1), I32), jnp.zeros((self.S, 1, 4), I32),
+                 jnp.zeros((self.S, 1, 4), I32), jnp.zeros((self.S,), I32))
             )
         merged = self.runs[0]
         while len(self.ctg_runs) > 1:
