@@ -87,33 +87,42 @@ class KmerCountStore:
         # split: (m_words, m_count, m_l4, m_r4, n_m, s_words, s_ext, n_s)
         self.runs: list[tuple] = []
         self.ctg_runs: list[tuple] = []
-        self._block_rows = 0  # capacity of one block push (trim threshold)
+        self._pending = None  # last pushed (run, occupancy) awaiting its trim
 
     # -- read pass ---------------------------------------------------------
 
     def add_reads_block(self, codes, qual_ok, lens):
         """Count one block of reads (codes (B,L) u8, qual_ok (B,L) bool).
 
-        Fully asynchronous: the fused push is ONE dispatch with NO host
-        fetch, so consecutive blocks pipeline on the device; merges are
-        scheduled by buffer capacity (deterministic), and occupancy trimming
-        — the only data-dependent step — happens only at large-merge
-        boundaries (see _merge_split).
+        Pipelined with a one-block lag: each push is ONE fused dispatch whose
+        occupancy fetch is DEFERRED until the next block's dispatch has been
+        enqueued — the fetch then waits only on work already completed
+        server-side (over a remote-tunnel TPU a host sync costs a ~30 ms
+        round-trip plus a pipeline stall). Runs always enter the LSM trimmed
+        to occupancy, so merges never sort capacity padding (untrimmed
+        merges measured ~2x slower end-to-end at 65k-read blocks).
         """
         if self.compact_singles:
-            run, _ = C.block_to_split_run(
+            run, ns = C.block_to_split_run(
                 jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens),
                 self.k, self.m,
             )
-            if self._block_rows == 0:
-                self._block_rows = self._split_rows(run)
-            self._push_split_run(run)
+            self._flush_pending()
+            self._pending = (run, ns)
             return
         rec = C.read_kmer_records(
             jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), self.k, self.m
         )
         agg = C.aggregate_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
         self._push_run(self.runs, agg, C.merge_aggregates)
+
+    def _flush_pending(self):
+        if self._pending is None:
+            return
+        run, ns = self._pending
+        self._pending = None
+        h = np.asarray(jax.device_get(ns))
+        self._push_split_run(self._trim(run, int(h[0]), int(h[1])))
 
     @staticmethod
     def _push_run(runs, agg, merge_fn):
@@ -145,14 +154,11 @@ class KmerCountStore:
             b[:4], C.expand_singles(b[5], b[6], b[7]),
         )
         run = C.split_run(*merged)
-        # occupancy trims need a host fetch (a tunnel round-trip); only large
-        # merges are worth syncing for — small runs stay capacity-sized and
-        # the pipeline stays fetch-free (memory stays bounded: untrimmed
-        # runs total < 2 * trim threshold)
-        if self._block_rows and self._split_rows(run) >= 4 * self._block_rows:
-            ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
-            return self._trim(run, int(ns[0]), int(ns[1]))
-        return run
+        # merges are off the hot push path (O(log) per round), so the
+        # occupancy fetch here is immediate; keeping every LSM run trimmed
+        # beats the round-trip it costs
+        ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
+        return self._trim(run, int(ns[0]), int(ns[1]))
 
     def _push_split_run(self, run):
         self.runs.append(run)
@@ -166,6 +172,7 @@ class KmerCountStore:
 
     def resident_run_bytes(self) -> int:
         """Device bytes held by the read-pass runs (memory observability)."""
+        self._flush_pending()
         return sum(sum(x.nbytes for x in run if hasattr(x, "nbytes")) for run in self.runs)
 
     # -- contig pass (rounds >= 2) ----------------------------------------
@@ -184,6 +191,7 @@ class KmerCountStore:
 
     def _merged_reads(self):
         if self.compact_singles:
+            self._flush_pending()
             while len(self.runs) > 1:
                 b = self.runs.pop()
                 a = self.runs.pop()

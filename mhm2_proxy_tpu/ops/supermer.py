@@ -75,17 +75,17 @@ def build_supermers(codes, qual_ok, lens, k: int, m: int, smax: int, n_shards: i
     n_seg = jnp.minimum(run_end - pos + 1, smax)
     n_seg = jnp.where(seg_start, n_seg, 0)
 
-    # gather the nb-base window starting at pos-1 for every row
-    flat_codes = codes.reshape(-1)
-    flat_q = (qual_ok & (codes < 4)).reshape(-1)
-    b_idx = jax.lax.broadcasted_iota(I32, (B, P), 0)
-    base0 = b_idx * L + (pos - 1)
-    # window indices (B, P, nb)
-    widx = base0[..., None] + jnp.arange(nb, dtype=I32)[None, None, :]
+    # the nb-base window starting at pos-1 for every row, built from nb
+    # STATIC shifted slices (window j = codes[:, p-1+j]) instead of a
+    # 33M-element dynamic gather — gathers are the XLA:TPU anti-pattern
+    q_codes = qual_ok & (codes < 4)
+    pad_c = jnp.pad(codes, ((0, 0), (1, nb - 1)))
+    pad_q = jnp.pad(q_codes, ((0, 0), (1, nb - 1)))
+    wcodes = jnp.stack([pad_c[:, j : j + P] for j in range(nb)], axis=-1)
+    wmask = jnp.stack([pad_q[:, j : j + P] for j in range(nb)], axis=-1)
     in_read = (pos[..., None] - 1 + jnp.arange(nb)[None, None, :]) < lens[:, None, None]
-    widx = jnp.clip(widx, 0, B * L - 1)
-    wcodes = jnp.where(in_read, flat_codes[widx], jnp.uint8(0))
-    wmask = jnp.where(in_read, flat_q[widx], False)
+    wcodes = jnp.where(in_read, wcodes, jnp.uint8(0))
+    wmask = jnp.where(in_read, wmask, False)
 
     # pack codes 16 bases/word MSB-first (N->G like kmer packing):
     # one broadcast multiply-accumulate instead of unrolled shift chains

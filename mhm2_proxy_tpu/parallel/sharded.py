@@ -257,8 +257,14 @@ class ShardedCounter:
     """
 
     def __init__(self, k: int, mesh: Mesh, dmin_thres: int = 2, bucket_cap: int | None = None,
-                 use_supermers: bool = True, smax: int = 24,
+                 use_supermers: bool = False, smax: int = 24,
                  compact_singles: bool = True):
+        # use_supermers trades ~2.4x extra compute (window packing + receiver
+        # re-derivation, measured at fixed volume on an 8-way mesh) for the
+        # reference's ~k/smax exchange-bandwidth reduction
+        # (kcount_cpu.cpp:84-103). Default OFF for single-host ICI meshes
+        # where compute, not interconnect, is the bottleneck; the multi-host
+        # HierarchicalCounter keeps it ON for the DCN hop.
         self.compact_singles = compact_singles
         self.use_supermers = use_supermers
         self.smax = smax

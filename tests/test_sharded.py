@@ -26,11 +26,12 @@ def make_read_set(rng, k, n_reads=96, L=64):
     return reads
 
 
-def test_sharded_count_matches_oracle(rng, mesh):
+@pytest.mark.parametrize("use_supermers", [False, True])
+def test_sharded_count_matches_oracle(rng, mesh, use_supermers):
     k = 21
     reads = make_read_set(rng, k)
     codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
-    counter = ShardedCounter(k, mesh, bucket_cap=4096)
+    counter = ShardedCounter(k, mesh, bucket_cap=4096, use_supermers=use_supermers)
     counter.add_reads_block(codes, qual_ok, lens)
     assert counter.dropped == 0
     table = counter.finalize()
