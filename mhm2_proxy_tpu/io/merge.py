@@ -50,15 +50,89 @@ _Q2PERROR = np.array(
 )
 
 
-@partial(jax.jit, static_argnames=("qual_offset",))
-def merge_pairs_block(codes1, quals1, len1, codes2, quals2, len2, qual_offset: int = 33):
+K_CAND = 12  # shortlist width: prefilter-passing shifts evaluated in detail
+
+
+def _eval_shift(a, q1, rc2, q2f, overlap, q2p):
+    """Detailed overlap scoring at one shift (merge_reads.cpp:346-443).
+
+    a, q1: (..., L) aligned seq1 window (codes / phred); rc2, q2f:
+    broadcast-compatible (..., L) rc(read2); overlap: (...,).
+    Returns (good, weak, abort_here) UNgated by scan state — callers apply
+    the done/shift-validity gating.
+    """
+    L = a.shape[-1]
+    j = jnp.arange(L, dtype=I32)
+    in_ov = j < overlap[..., None]
+    lead = a.shape[:-1]
+
+    this_max = MAX_MISMATCHES + (EXTRA_MISMATCHES_PER_1000 * overlap) // 1000
+    error_max = (this_max * 4) // 3 + 1
+
+    is_mm = (a != rc2) & in_ov
+    byte_mm = jnp.sum(is_mm, axis=-1)
+    prefilter_ok = byte_mm <= error_max
+
+    has_n = (a == 4) | (rc2 == 4)
+    mm_n = is_mm & has_n  # N mismatches count double
+    det_mm = is_mm.astype(I32) + mm_n.astype(I32)
+    cum_mm = jnp.cumsum(det_mm, axis=-1)
+    # j is processed iff cumulative mismatches before j never exceeded max
+    proc = jnp.concatenate(
+        [jnp.ones(lead + (1,), bool), cum_mm[..., :-1] <= error_max[..., None]], axis=-1
+    ) & in_ov
+    complete = jnp.min(jnp.where(proc | ~in_ov, 1, 0), axis=-1).astype(bool)
+
+    match_n = (a == 4) & (rc2 == 4) & in_ov
+    cum_match_n = jnp.cumsum(match_n.astype(I32), axis=-1)
+    ncount = jnp.cumsum((match_n.astype(I32) * 2 + mm_n.astype(I32)), axis=-1)
+    abort_j = ((cum_match_n >= 2) & match_n) | (ncount > 3)
+    abort_here = jnp.any(abort_j & proc, axis=-1) & prefilter_ok
+
+    matches = jnp.sum((a == rc2) & in_ov, axis=-1)
+
+    # perror contributions at mismatches (merge_reads.cpp:370-406)
+    q1z = jnp.where(a == 4, 0, q1)
+    q2z = jnp.where(rc2 == 4, 0, q2f)
+    qq1 = jnp.clip(q1z, 0, 79)
+    qq2 = jnp.clip(q2z, 0, 79)
+    diffq = jnp.clip(jnp.abs(qq1 - qq2), 0, 79)
+    base_pe = jnp.where(diffq <= 2, F32(0.5), q2p[diffq])
+    n_pe = jnp.where(a == 4, q2p[qq2], jnp.where(rc2 == 4, q2p[qq1], F32(0.0)))
+    pe = jnp.where(is_mm, base_pe + n_pe, F32(0.0))
+    perror = jnp.sum(pe, axis=-1)
+
+    mm_total = jnp.where(in_ov, det_mm, 0).sum(axis=-1)
+    ovf = jnp.maximum(overlap, 1).astype(F32)
+    match_thres = jnp.maximum(overlap - this_max, MIN_OVERLAP)
+    good = (
+        prefilter_ok & complete & ~abort_here
+        & (matches >= match_thres)
+        & (mm_total <= this_max)
+        & (perror / ovf <= F32(MAX_PERROR))
+    )
+    weak = (
+        prefilter_ok & complete & ~abort_here & ~good
+        & (mm_total <= error_max)
+        & (perror / ovf <= F32(MAX_PERROR * 4 / 3))
+    )
+    return good, weak, abort_here
+
+
+@partial(jax.jit, static_argnames=("qual_offset", "scan"))
+def merge_pairs_block(codes1, quals1, len1, codes2, quals2, len2, qual_offset: int = 33,
+                      scan: str = "dense"):
     """Merge a block of read pairs.
 
     codes*: (B, L) uint8 base codes (0-3, 4=N); quals*: (B, L) uint8 raw
     (phred+offset); len*: (B,) int32.
 
+    scan="dense" evaluates every shift (the reference's sequential scan as a
+    fori_loop fold); scan="shortlist" evaluates only prefilter-passing shifts
+    (exact unless `overflow` is returned True — see below).
+
     Returns dict with merged (B,) bool, m_codes/m_quals (B, 2L), m_len (B,),
-    plus ambiguity/abort stats.
+    plus ambiguity/abort stats and `overflow` (always False for dense).
     """
     B, L = codes1.shape
     q2p = jnp.asarray(_Q2PERROR, F32)
@@ -91,72 +165,18 @@ def merge_pairs_block(codes1, quals1, len1, codes2, quals2, len2, qual_offset: i
 
     n_i = max(L - MIN_OVERLAP + EXTRA_TEST_OVERLAP, 1)
 
-    def body(i, st):
-        best_i, found_i, done, aborted, n_ambig = st
-        a = jax.lax.dynamic_slice(a_pad, (0, i), (B, L))
-        q1 = jax.lax.dynamic_slice(q1f, (0, i), (B, L))
-        overlap = ov_len - i  # (B,)
-        in_ov = j < overlap[:, None]
-        active = (~done) & (i < ov_len - MIN_OVERLAP + EXTRA_TEST_OVERLAP)
-
-        this_max = MAX_MISMATCHES + (EXTRA_MISMATCHES_PER_1000 * overlap) // 1000
-        error_max = (this_max * 4) // 3 + 1
-
-        is_mm = (a != rc2) & in_ov
-        byte_mm = jnp.sum(is_mm, axis=1)
-        prefilter_ok = byte_mm <= error_max
-
-        has_n = (a == 4) | (rc2 == 4)
-        mm_n = is_mm & has_n  # N mismatches count double
-        det_mm = is_mm.astype(I32) + mm_n.astype(I32)
-        cum_mm = jnp.cumsum(det_mm, axis=1)
-        # j is processed iff cumulative mismatches before j never exceeded max
-        proc = jnp.concatenate(
-            [jnp.ones((B, 1), bool), cum_mm[:, :-1] <= error_max[:, None]], axis=1
-        ) & in_ov
-        complete = jnp.min(jnp.where(proc | ~in_ov, 1, 0), axis=1).astype(bool)
-
-        match_n = (a == 4) & (rc2 == 4) & in_ov
-        cum_match_n = jnp.cumsum(match_n.astype(I32), axis=1)
-        ncount = jnp.cumsum((match_n.astype(I32) * 2 + mm_n.astype(I32)), axis=1)
-        abort_j = ((cum_match_n >= 2) & match_n) | (ncount > 3)
-        abort_here = jnp.any(abort_j & proc, axis=1) & prefilter_ok & active
-
-        matches = jnp.sum((a == rc2) & in_ov, axis=1)
-
-        # perror contributions at mismatches (merge_reads.cpp:370-406)
-        q1z = jnp.where(a == 4, 0, q1)
-        q2z = jnp.where(rc2 == 4, 0, q2f)
-        qq1 = jnp.clip(q1z, 0, 79)
-        qq2 = jnp.clip(q2z, 0, 79)
-        diffq = jnp.clip(jnp.abs(qq1 - qq2), 0, 79)
-        base_pe = jnp.where(diffq <= 2, F32(0.5), q2p[diffq])
-        n_pe = jnp.where(a == 4, q2p[qq2], jnp.where(rc2 == 4, q2p[qq1], F32(0.0)))
-        pe = jnp.where(is_mm, base_pe + n_pe, F32(0.0))
-        perror = jnp.sum(pe, axis=1)
-
-        mm_total = jnp.where(in_ov, det_mm, 0).sum(axis=1)
-        ovf = jnp.maximum(overlap, 1).astype(F32)
-        match_thres = jnp.maximum(overlap - this_max, MIN_OVERLAP)
-        good = (
-            prefilter_ok & complete & ~abort_here
-            & (matches >= match_thres)
-            & (mm_total <= this_max)
-            & (perror / ovf <= F32(MAX_PERROR))
-        ) & active
-        weak = (
-            prefilter_ok & complete & ~abort_here & ~good
-            & (mm_total <= error_max)
-            & (perror / ovf <= F32(MAX_PERROR * 4 / 3))
-        ) & active
-
-        # state machine (merge_reads.cpp:419-442)
+    def step(state, i_k, good, weak, abort_here):
+        """One state-machine transition (merge_reads.cpp:419-442)."""
+        best_i, found_i, done, aborted, n_ambig = state
+        good = good & ~done
+        weak = weak & ~done
+        abort_here = abort_here & ~done
         fresh = (best_i < 0) & (found_i < 0)
-        new_best = jnp.where(good & fresh, i, best_i)
+        new_best = jnp.where(good & fresh, i_k, best_i)
         good_ambig = good & ~fresh
         weak_ambig = weak & (best_i >= 0)
         new_best = jnp.where(good_ambig | weak_ambig, -1, new_best)
-        new_found = jnp.where(weak, i, found_i)
+        new_found = jnp.where(weak, i_k, found_i)
         new_done = done | abort_here | good_ambig | weak_ambig
         new_aborted = aborted | abort_here
         new_ambig = n_ambig + (abort_here | good_ambig | weak_ambig).astype(I32)
@@ -169,7 +189,56 @@ def merge_pairs_block(codes1, quals1, len1, codes2, quals2, len2, qual_offset: i
         jnp.zeros((B,), bool),
         jnp.zeros((B,), I32),
     )
-    best_i, found_i, done, aborted, n_ambig = jax.lax.fori_loop(0, n_i, body, init)
+
+    if scan == "dense":
+        def body(i, st):
+            a = jax.lax.dynamic_slice(a_pad, (0, i), (B, L))
+            q1 = jax.lax.dynamic_slice(q1f, (0, i), (B, L))
+            overlap = ov_len - i  # (B,)
+            shift_ok = i < ov_len - MIN_OVERLAP + EXTRA_TEST_OVERLAP
+            good, weak, abort_here = _eval_shift(a, q1, rc2, q2f, overlap, q2p)
+            ib = jnp.full((B,), i, I32)
+            return step(st, ib, good & shift_ok, weak & shift_ok, abort_here & shift_ok)
+
+        best_i, found_i, done, aborted, n_ambig = jax.lax.fori_loop(0, n_i, body, init)
+        overflow = jnp.zeros((), bool)
+    else:
+        # shortlist scan: full detailed scoring runs only on the <= K_CAND
+        # shifts per pair that pass the cheap mismatch-count prefilter (the
+        # reference's SSE popcnt prefilter, merge_reads.cpp:346-357, plays
+        # the same role). Exact: state transitions can only fire at
+        # prefilter-passing shifts, so evaluating exactly those in order
+        # reproduces the sequential scan; on > K_CAND passing shifts
+        # (`overflow` True) the caller must fall back to the dense scan.
+        shift_i = jnp.arange(n_i, dtype=I32)[None, :]  # (1, n_i)
+        overlap_all = ov_len[:, None] - shift_i  # (B, n_i)
+        this_max_all = MAX_MISMATCHES + (EXTRA_MISMATCHES_PER_1000 * overlap_all) // 1000
+        error_max_all = (this_max_all * 4) // 3 + 1
+        # byte mismatch counts for ALL shifts from static shifted slices (no
+        # gathers): windows[b, s, :] = a_pad[b, s : s + L]
+        win = jnp.stack([a_pad[:, s : s + L] for s in range(n_i)], axis=1)
+        in_ov_all = jnp.arange(L, dtype=I32)[None, None, :] < overlap_all[..., None]
+        byte_mm_all = jnp.sum((win != rc2[:, None, :]) & in_ov_all, axis=-1)
+        shift_valid = shift_i < (ov_len - MIN_OVERLAP + EXTRA_TEST_OVERLAP)[:, None]
+        passing = (byte_mm_all <= error_max_all) & shift_valid
+        overflow = jnp.any(jnp.sum(passing, axis=1) > K_CAND)
+
+        cand = jnp.sort(jnp.where(passing, shift_i, n_i), axis=1)[:, :K_CAND]
+        cand_valid = cand < n_i
+        idx3 = cand[:, :, None] + jnp.arange(L, dtype=I32)[None, None, :]
+        gat = lambda x: jnp.take_along_axis(
+            jnp.broadcast_to(x[:, None, :], (B, K_CAND, 2 * L)), idx3, axis=2
+        )
+        good_c, weak_c, abort_c = _eval_shift(
+            gat(a_pad), gat(q1f), rc2[:, None, :], q2f[:, None, :],
+            ov_len[:, None] - cand, q2p,
+        )
+        st = init
+        for kk in range(K_CAND):
+            v = cand_valid[:, kk]
+            st = step(st, cand[:, kk], good_c[:, kk] & v, weak_c[:, kk] & v,
+                      abort_c[:, kk] & v)
+        best_i, found_i, done, aborted, n_ambig = st
 
     merged = (best_i >= 0) & ~aborted & (len1 > 0) & (len2 > 0)
 
@@ -210,14 +279,29 @@ def merge_pairs_block(codes1, quals1, len1, codes2, quals2, len2, qual_offset: i
         overlap=jnp.where(merged, overlap, 0),
         quals1_z=quals1,
         quals2_z=quals2,
+        overflow=overflow,
     )
 
 
 def merge_reads_arrays(codes1, quals1, len1, codes2, quals2, len2, qual_offset=33):
-    """Host wrapper: returns per-pair merged results as numpy."""
-    out = merge_pairs_block(
-        jnp.asarray(codes1), jnp.asarray(quals1), jnp.asarray(len1),
-        jnp.asarray(codes2), jnp.asarray(quals2), jnp.asarray(len2),
-        qual_offset=qual_offset,
-    )
-    return {k: np.asarray(v) for k, v in out.items()}
+    """Host wrapper: returns per-pair merged results as numpy.
+
+    Pinned to the LOCAL CPU backend: merging is an ingest-side stage whose
+    inputs and outputs live on the host (PackedReads), so running it on a
+    remote-tunnel accelerator pays ~20 MB of tunnel traffic per block — the
+    measured ingest bottleneck at arctic scale — for compute the host does
+    in about the same time.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        args = (
+            jnp.asarray(np.asarray(codes1)), jnp.asarray(np.asarray(quals1)),
+            jnp.asarray(np.asarray(len1)), jnp.asarray(np.asarray(codes2)),
+            jnp.asarray(np.asarray(quals2)), jnp.asarray(np.asarray(len2)),
+        )
+        out = merge_pairs_block(*args, qual_offset=qual_offset, scan="shortlist")
+        if bool(np.asarray(out["overflow"])):
+            # > K_CAND prefilter-passing shifts for some pair (low-complexity
+            # reads): rerun the block with the exact dense scan
+            out = merge_pairs_block(*args, qual_offset=qual_offset, scan="dense")
+        return {k: np.asarray(v) for k, v in out.items() if k != "overflow"}

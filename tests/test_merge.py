@@ -104,3 +104,35 @@ def test_merge_with_ns(rng):
         q = "".join(chr(33 + int(rng.integers(30, 41))) for _ in range(75))
         pairs.append((r1, q, r2, q))
     check_block(pairs, 75)
+
+
+def test_shortlist_equals_dense(rng):
+    """The prefilter-shortlist scan must be bit-identical to the dense scan,
+    including on adversarial low-complexity pairs (which exercise the
+    overflow fallback in merge_reads_arrays)."""
+    import jax.numpy as jnp
+    from mhm2_proxy_tpu.io.merge import merge_pairs_block
+    from mhm2_proxy_tpu.oracle.pyref import revcomp_str
+
+    genome = random_genome(rng, 2000)
+    pairs = []
+    for t in range(40):
+        s = int(rng.integers(0, 1800))
+        frag = genome[s : s + 130]
+        pairs.append((frag[:80], chr(33 + 38) * 80, revcomp_str(frag[-80:]), chr(33 + 38) * 80))
+    # adversarial: poly-A and dimer repeats pass the prefilter at MANY shifts
+    pairs.append(("A" * 80, chr(70) * 80, "T" * 80, chr(70) * 80))
+    pairs.append(("AC" * 40, chr(70) * 80, "GT" * 40, chr(70) * 80))
+    c1, q1, l1, c2, q2, l2 = pairs_to_arrays(pairs, 80)
+    args = tuple(jnp.asarray(x) for x in (c1, q1, l1, c2, q2, l2))
+    dense = merge_pairs_block(*args, scan="dense")
+    short = merge_pairs_block(*args, scan="shortlist")
+    assert bool(short["overflow"])  # the repeats overflow the shortlist
+    # the non-adversarial prefix must already agree pair-by-pair
+    for key in ("merged", "m_len", "m_codes", "m_quals", "overlap"):
+        d, s = np.asarray(dense[key]), np.asarray(short[key])
+        np.testing.assert_array_equal(d[:40], s[:40], err_msg=key)
+    # the wrapper falls back to dense on overflow: end-to-end equality
+    out = merge_reads_arrays(c1, q1, l1, c2, q2, l2)
+    for key in ("merged", "m_len", "m_codes", "m_quals", "overlap"):
+        np.testing.assert_array_equal(np.asarray(dense[key]), out[key], err_msg=key)
