@@ -283,21 +283,57 @@ def aggregate_records(words, left, right, count, valid):
     return _dedup_sorted(w, cnt, l4, r4)
 
 
-@jax.jit
-def merge_aggregates(a_words, a_count, a_l4, a_r4, b_words, b_count, b_l4, b_r4):
-    """Merge two deduped partial tables (concat + sort-carry + bounded dedup).
+def _merge_sorted_sets(a, b):
+    """Merge two SORTED (words, count, l4, r4) sets -> sorted (w, cnt, l4, r4).
+
+    On TPU uses the Pallas bitonic-merge network (ops/pallas_sort.py,
+    measured 2.2x jax.lax.sort at 8M rows — the runs are already sorted, so
+    a full comparator sort is wasted work); elsewhere concat + variadic
+    sort-carry. b is padded with sentinel rows to make the total a power of
+    two (sentinels sort last, preserving the dense-prefix convention).
 
     A rank-based merge (batched bisection + scatter, no re-sort) was tried
     and measured 7x SLOWER on TPU (734 vs 98 ms at 2x1M rows): XLA:TPU row
-    gathers at dynamic indices are far more expensive than its sort. Sorts
-    are the TPU-idiomatic join primitive; keep the sort.
+    gathers at dynamic indices are far more expensive than its sort.
     """
+    a_words, a_count, a_l4, a_r4 = a
+    b_words, b_count, b_l4, b_r4 = b
+    W = a_words.shape[1]
+    na, nb = a_words.shape[0], b_words.shape[0]
+    if jax.default_backend() == "tpu":
+        from .pallas_sort import merge_sorted_lanes
+
+        total = na + nb
+        m = 1 << max(8, (total - 1).bit_length())
+        pad = m - total
+        a_lanes = tuple(a_words[:, w] for w in range(W)) + _pack_sums(a_count, a_l4, a_r4)
+        b_lanes = tuple(b_words[:, w] for w in range(W)) + _pack_sums(b_count, b_l4, b_r4)
+        if pad:
+            b_lanes = tuple(
+                jnp.concatenate(
+                    [x, jnp.full((pad,), 0xFFFFFFFF if i < W else 0, U32)]
+                )
+                for i, x in enumerate(b_lanes)
+            )
+        out = merge_sorted_lanes(a_lanes, b_lanes, kw=W)
+        w = jnp.stack(out[:W], axis=-1)
+        cnt, l4, r4 = _unpack_sums(*out[W:])
+        return w, cnt, l4, r4
     words = jnp.concatenate([a_words, b_words])
     cnt = jnp.concatenate([a_count, b_count])
     l4 = jnp.concatenate([a_l4, b_l4])
     r4 = jnp.concatenate([a_r4, b_r4])
     w, *packed = _sort_carry(words, *_pack_sums(cnt, l4, r4))
     cnt, l4, r4 = _unpack_sums(*packed)
+    return w, cnt, l4, r4
+
+
+@jax.jit
+def merge_aggregates(a_words, a_count, a_l4, a_r4, b_words, b_count, b_l4, b_r4):
+    """Merge two deduped partial tables (sorted-run merge + bounded dedup)."""
+    w, cnt, l4, r4 = _merge_sorted_sets(
+        (a_words, a_count, a_l4, a_r4), (b_words, b_count, b_l4, b_r4)
+    )
     return _dedup_sorted_bounded(w, cnt, l4, r4, mult=2)
 
 
@@ -408,6 +444,13 @@ def expand_singles(s_words, s_ext, n_single):
 @jax.jit
 def merge_aggregates4(a, b, c, d):
     """Merge four (words, count, l4, r4) sets in ONE sort + dedup."""
+    if jax.default_backend() == "tpu":
+        # three pairwise bitonic merges of already-sorted runs beat one
+        # comparator sort of the concatenation
+        ab = _merge_sorted_sets(a[:4], b[:4])
+        cd = _merge_sorted_sets(c[:4], d[:4])
+        w, cnt, l4, r4 = _merge_sorted_sets(ab, cd)
+        return _dedup_sorted_bounded(w, cnt, l4, r4, mult=4)
     words = jnp.concatenate([a[0], b[0], c[0], d[0]])
     cnt = jnp.concatenate([a[1], b[1], c[1], d[1]])
     l4 = jnp.concatenate([a[2], b[2], c[2], d[2]])
