@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import bitkmer as bk
-from ..ops.lookup import table_join, table_lookup  # noqa: F401 (lookup kept for small-Q callers)
+from ..ops.lookup import table_join, table_join_payload, table_lookup  # noqa: F401 (lookup kept for small-Q callers)
 
 U32 = jnp.uint32
 
@@ -65,11 +65,15 @@ def build_edges(words, count, left, right, n, k: int):
     # per-key multiplicity.
     q = jnp.concatenate([b_can, p_can])
     q = jnp.where(jnp.concatenate([uu, uu])[:, None], q, jnp.uint32(0xFFFFFFFF))
-    idx2, found2 = table_join(words, n, q)
+    # neighbor ext codes ride the join as a payload lane: four dynamic row
+    # gathers (left/right at b_idx/p_idx, ~2T indices each) replaced by one
+    # extra sort lane (gathers are the XLA:TPU anti-pattern)
+    ext_pay = left.astype(jnp.uint32) | (right.astype(jnp.uint32) << jnp.uint32(8))
+    idx2, found2, pay2 = table_join_payload(words, n, q, ext_pay)
     b_idx, b_found = idx2[:T], found2[:T]
     p_idx, p_found = idx2[T:], found2[T:]
-    b_left = left[b_idx]
-    b_right = right[b_idx]
+    b_left = (pay2[:T] & jnp.uint32(0xFF)).astype(jnp.uint8)
+    b_right = ((pay2[:T] >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8)
     b_uu = (b_left < 4) & (b_right < 4)
     # oriented left ext of B: comp(right) if B canonical is the rc of B_or
     b_left_or = jnp.where(b_rc, jnp.uint8(3) - b_right, b_left)
@@ -79,8 +83,8 @@ def build_edges(words, count, left, right, n, k: int):
     # (canonical-aligned) exits via R; entering via R (rc) exits via L.
     r_port = jnp.where(b_rc, jnp.int32(1), jnp.int32(0))  # entry port on B
 
-    p_left = left[p_idx]
-    p_right = right[p_idx]
+    p_left = (pay2[T:] & jnp.uint32(0xFF)).astype(jnp.uint8)
+    p_right = ((pay2[T:] >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8)
     p_uu = (p_left < 4) & (p_right < 4)
     p_right_or = jnp.where(p_rc, jnp.uint8(3) - p_left, p_right)
     l_ok = uu & p_found & p_uu & (p_right_or == a_last.astype(jnp.uint8)) & (p_idx != self_idx)

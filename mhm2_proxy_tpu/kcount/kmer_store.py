@@ -139,8 +139,8 @@ class KmerCountStore:
     def _trim(run, n_m: int, n_s: int):
         """Trim a split run to pow2 occupancy (host sizes already fetched)."""
         m_w, m_c, m_l4, m_r4, nm, s_w, s_e, ns = run
-        pm = min(C.pow2_rows(n_m), m_w.shape[0])
-        ps = min(C.pow2_rows(n_s), s_w.shape[0])
+        pm = min(C.trim_rows(n_m), m_w.shape[0])
+        ps = min(C.trim_rows(n_s), s_w.shape[0])
         return (m_w[:pm], m_c[:pm], m_l4[:pm], m_r4[:pm], nm,
                 s_w[:ps], s_e[:ps], ns)
 
@@ -149,11 +149,10 @@ class KmerCountStore:
         return run[0].shape[0] + run[5].shape[0]
 
     def _merge_split(self, a, b):
-        merged = C.merge_aggregates4(
+        run = C.merge_split4(
             a[:4], C.expand_singles(a[5], a[6], a[7]),
             b[:4], C.expand_singles(b[5], b[6], b[7]),
         )
-        run = C.split_run(*merged)
         # merges are off the hot push path (O(log) per round), so the
         # occupancy fetch here is immediate; keeping every LSM run trimmed
         # beats the round-trip it costs

@@ -163,25 +163,20 @@ def _unpack_sums(c, l01, l23, r01, r23):
     return c.astype(jnp.int32), l4, r4
 
 
-def _dedup_sorted(words, count, l4, r4):
-    """Segment-reduce duplicate adjacent keys in lexsorted rows.
-
-    Returns same-shape arrays with unique rows compacted to the front
-    (sentinel rows group at the end), plus n_unique (excluding sentinels).
-    Counts saturate at the uint16 ceiling (reference kmer_count_t semantics,
-    kcount_cpu.cpp:152-155) after every reduce.
+def _group_sums_scan(words, count, l4, r4):
+    """Per-group payload sums at group-last rows of lexsorted rows.
 
     Scatter-free: group sums come from one stacked int32 cumsum sampled at
     group boundaries (a single 9-lane scatter measured 25 ms at 573k rows on
     v5e — scatters/gathers are the TPU anti-pattern; scans and sorts are
     ~1 ms), the group-start prefix rides forward on a cummax (exclusive
-    prefix sums are nondecreasing since all payloads are nonnegative), and
-    compaction is one stable 1-key flag sort. int32 exactness: group sums
-    here are INSTANCE counts (each input row's count is a sum of original
-    unit records), so every cumsum lane is bounded by the total number of
-    k-mer instances in the batch < 2^31.
+    prefix sums are nondecreasing since all payloads are nonnegative).
+    int32 exactness: group sums here are INSTANCE counts (each input row's
+    count is a sum of original unit records), so every cumsum lane is bounded
+    by the total number of k-mer instances in the batch < 2^31.
+
+    Returns (sums (N,9) i32 clamped to the u16 ceiling, is_last, is_sent).
     """
-    N, W = words.shape
     neq = jnp.any(words[1:] != words[:-1], axis=-1)
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
@@ -194,6 +189,45 @@ def _dedup_sorted(words, count, l4, r4):
     start_excl = jax.lax.cummax(jnp.where(is_start[:, None], excl, 0), axis=0)
     sums = jnp.minimum(cs - start_excl, MAX_KMER_COUNT)  # valid at last rows
     is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    return sums, is_last, is_sent
+
+
+def _group_sums_bounded(words, count, l4, r4, mult: int):
+    """_group_sums_scan for rows whose key multiplicity is STATICALLY
+    bounded by `mult` (merge inputs are already-deduped runs): group sums
+    need only ceil(log2(mult)) masked shift-adds instead of a global scan.
+    All sums are exact in int32 (<= mult * 0xFFFF) before the clamp."""
+    pay = jnp.concatenate(
+        [count[:, None].astype(jnp.int32), l4.astype(jnp.int32), r4.astype(jnp.int32)],
+        axis=1,
+    )
+    d = 1
+    while d < mult:
+        same = jnp.all(words[d:] == words[:-d], axis=-1)
+        add = jnp.where(
+            jnp.concatenate([jnp.zeros((d,), bool), same])[:, None],
+            jnp.concatenate([jnp.zeros((d, 9), jnp.int32), pay[:-d]]),
+            0,
+        )
+        pay = pay + add
+        d *= 2
+    neq = jnp.any(words[1:] != words[:-1], axis=-1)
+    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    return jnp.minimum(pay, MAX_KMER_COUNT), is_last, is_sent
+
+
+def _dedup_sorted(words, count, l4, r4):
+    """Segment-reduce duplicate adjacent keys in lexsorted rows.
+
+    Returns same-shape arrays with unique rows compacted to the front
+    (sentinel rows group at the end), plus n_unique (excluding sentinels).
+    Counts saturate at the uint16 ceiling (reference kmer_count_t semantics,
+    kcount_cpu.cpp:152-155) after every reduce. Compaction is one stable
+    1-key flag sort.
+    """
+    N, W = words.shape
+    sums, is_last, is_sent = _group_sums_scan(words, count, l4, r4)
     keep = is_last & ~is_sent
     packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
     flag = jnp.where(keep, U32(0), U32(1))
@@ -225,22 +259,8 @@ def _dedup_sorted_bounded(words, count, l4, r4, mult: int):
     sums are exact in int32 (<= mult * 0xFFFF) before the u16-ceiling clamp.
     """
     N, W = words.shape
-    pay = jnp.concatenate([count[:, None].astype(jnp.int32), l4.astype(jnp.int32), r4.astype(jnp.int32)], axis=1)
-    d = 1
-    while d < mult:
-        same = jnp.all(words[d:] == words[:-d], axis=-1)
-        add = jnp.where(
-            jnp.concatenate([jnp.zeros((d,), bool), same])[:, None],
-            jnp.concatenate([jnp.zeros((d, 9), jnp.int32), pay[:-d]]),
-            0,
-        )
-        pay = pay + add
-        d *= 2
-    neq = jnp.any(words[1:] != words[:-1], axis=-1)
-    is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
-    is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    sums, is_last, is_sent = _group_sums_bounded(words, count, l4, r4, mult)
     keep = is_last & ~is_sent
-    sums = jnp.minimum(pay, MAX_KMER_COUNT)
     packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
     flag = jnp.where(keep, U32(0), U32(1))
     out = jax.lax.sort(
@@ -383,6 +403,20 @@ def pow2_rows(n: int, floor: int = 256) -> int:
     return max(floor, 1 << (max(int(n), 1) - 1).bit_length())
 
 
+def trim_rows(n: int, floor: int = 256) -> int:
+    """Static row count with half-octave granularity: smallest 2^k or
+    3*2^(k-1) >= n. Doubles the shape zoo vs pow2_rows but caps sentinel
+    padding at 33% instead of 100% — padding rides every downstream bitonic
+    merge and flag sort, so tighter trims shrink the LSM's hot sorts
+    (measured ~25% off the steady-state merge on v5e)."""
+    n = max(int(n), 1)
+    p = 1 << (n - 1).bit_length()
+    half_octave = 3 * (p // 4)
+    if p >= 4 and n <= half_octave:
+        return max(floor, half_octave)
+    return max(floor, p)
+
+
 def _ext_code_of(c4, valid):
     """(N,4) one-hot ext counts of count-1 rows -> u8 code (0-3 or EXT_NONE)."""
     has = jnp.sum(c4, axis=-1) == 1
@@ -441,6 +475,97 @@ def expand_singles(s_words, s_ext, n_single):
     return s_words, cnt, _ext_onehot(left, cnt), _ext_onehot(right, cnt)
 
 
+def _split_from_scanned(words, sums, is_last, is_sent):
+    """Compact scanned lexsorted rows straight into a split run.
+
+    ONE 3-way flag sort (multi=0, single=1, dead=2) replaces the three
+    full-N sorts the unfused aggregate+split path needs (dedup compact + two
+    split compacts). Dead rows are sentinelized pre-sort (their keys are
+    never read again), so the sorted array is [multis | singles | sentinels]
+    with each part in key order (stable sort). The singleton ext code rides
+    the FREE upper 16 bits of the count lane (singles have count == 1), so
+    no extra lane is carried. The multi part is the prefix (masked past
+    n_multi); the single part is recovered by one dynamic roll of the 2+1
+    lanes singles need — elementwise traffic, ~100x cheaper than the 4-lane
+    full-N sort it replaces (each full-N sort is ~100-190 ms at 18M rows on
+    v5e).
+    """
+    N, W = words.shape
+    keep_m = is_last & ~is_sent & (sums[:, 0] >= 2)
+    keep_s = is_last & ~is_sent & (sums[:, 0] == 1)
+    dead = ~(keep_m | keep_s)
+
+    w = jnp.where(dead[:, None], jnp.uint32(0xFFFFFFFF), words)
+    ext = _ext_code_of(sums[:, 1:5], keep_s) | (
+        _ext_code_of(sums[:, 5:9], keep_s) << jnp.uint8(4)
+    )
+    p0, p1, p2, p3, p4 = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
+    p0 = p0 | jnp.where(keep_s, ext.astype(U32) << U32(16), U32(0))
+    flag = jnp.where(keep_m, U32(0), jnp.where(keep_s, U32(1), U32(2)))
+    out = jax.lax.sort(
+        (flag,) + tuple(w[:, i] for i in range(W)) + (p0, p1, p2, p3, p4),
+        num_keys=1, is_stable=True,
+    )
+    n_multi = jnp.sum(keep_m).astype(jnp.int32)
+    n_single = jnp.sum(keep_s).astype(jnp.int32)
+
+    sw = jnp.stack(out[1 : 1 + W], axis=-1)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    m_live = rows < n_multi
+    m_words = jnp.where(m_live[:, None], sw, jnp.uint32(0xFFFFFFFF))
+    m_count, m_l4, m_r4 = _unpack_sums(
+        out[1 + W] & U32(0xFFFF), *out[2 + W :]
+    )
+    z = m_live.astype(jnp.int32)
+    m_count = m_count * z
+    m_l4 = m_l4 * z[:, None]
+    m_r4 = m_r4 * z[:, None]
+
+    # singles occupy [n_multi, n_multi + n_single): roll them to the front
+    s_live = rows < n_single
+    sh = -n_multi
+    s_words = jnp.where(
+        s_live[:, None], jnp.roll(sw, sh, axis=0), jnp.uint32(0xFFFFFFFF)
+    )
+    s_ext = jnp.where(
+        s_live, (jnp.roll(out[1 + W], sh) >> U32(16)).astype(jnp.uint8), jnp.uint8(0)
+    )
+    return m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single
+
+
+@jax.jit
+def aggregate_split_records(words, left, right, count, valid):
+    """Fused aggregate_records + split_run: records -> split run directly."""
+    w = _sentinelize(words, valid)
+    cnt = jnp.where(valid, count, 0).astype(jnp.int32)
+    w, packed = _sort_carry(w, _pack_cnt_ext(cnt, left, right))
+    cnt, left_s, right_s = _unpack_cnt_ext(packed)
+    l4 = _ext_onehot(left_s, cnt)
+    r4 = _ext_onehot(right_s, cnt)
+    sums, is_last, is_sent = _group_sums_scan(w, cnt, l4, r4)
+    return _split_from_scanned(w, sums, is_last, is_sent)
+
+
+@jax.jit
+def merge_split4(a, b, c, d):
+    """Merge four sorted deduped (words, count, l4, r4) sets straight into a
+    split run (fused merge_aggregates4 + split_run: the deduped intermediate
+    and its compaction sort are skipped)."""
+    if jax.default_backend() == "tpu":
+        ab = _merge_sorted_sets(a[:4], b[:4])
+        cd = _merge_sorted_sets(c[:4], d[:4])
+        w, cnt, l4, r4 = _merge_sorted_sets(ab, cd)
+    else:
+        w = jnp.concatenate([a[0], b[0], c[0], d[0]])
+        cnt = jnp.concatenate([a[1], b[1], c[1], d[1]])
+        l4 = jnp.concatenate([a[2], b[2], c[2], d[2]])
+        r4 = jnp.concatenate([a[3], b[3], c[3], d[3]])
+        w, *packed = _sort_carry(w, *_pack_sums(cnt, l4, r4))
+        cnt, l4, r4 = _unpack_sums(*packed)
+    sums, is_last, is_sent = _group_sums_bounded(w, cnt, l4, r4, mult=4)
+    return _split_from_scanned(w, sums, is_last, is_sent)
+
+
 @jax.jit
 def merge_aggregates4(a, b, c, d):
     """Merge four (words, count, l4, r4) sets in ONE sort + dedup."""
@@ -471,8 +596,9 @@ def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
     (needed for the trim slice sizes) is a single transfer.
     """
     rec = read_kmer_records(codes, qual_ok, lens, k, m)
-    agg = aggregate_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
-    out = split_run(*agg)
+    out = aggregate_split_records(
+        rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+    )
     return out, jnp.stack([out[4], out[7]])
 
 

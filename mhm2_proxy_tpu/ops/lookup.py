@@ -32,23 +32,12 @@ def _lex_leq_rows(a, b):
     return le
 
 
-@partial(jax.jit, static_argnames=("max_dup",))
-def table_join(table_words, n_valid, query_words, max_dup: int = 32):
-    """Sort-join lookup: same contract as table_lookup (idx, found).
-
-    TPU-preferred for large query sets: one lexsort of the (T+Q) rows plus a
-    bounded log-shift propagation replaces the bisection loop, whose ~log(T)
-    dynamic row gathers dominate on TPU (measured ~7x slower at millions of
-    rows — XLA:TPU gathers are far more expensive than its sorts).
-
-    Precondition: fewer than max_dup rows (table + queries combined) share
-    any key — true for de Bruijn neighbor joins, where a key can be queried
-    by at most 8 right-walking and 8 left-walking k-mers (one query each, so
-    <= 17 rows per key; default 32 covers it). Callers must
-    sentinelize invalid queries (all-ones) so they cannot crowd a valid key's
-    neighborhood; sentinel-keyed rows never match (table sentinels are
-    excluded by n_valid).
-    """
+def _sort_join(table_words, n_valid, query_words, payload, max_dup: int):
+    """Shared sort-join core; payload is an optional (T,) uint32 lane that
+    rides the join (returned per query alongside idx) — fetching table
+    attributes through the join instead of post-join dynamic gathers, the
+    XLA:TPU anti-pattern (a row gather at millions of indices costs several
+    times the extra sort lane)."""
     T = table_words.shape[0]
     Q = query_words.shape[0]
     words = jnp.concatenate([table_words, query_words])
@@ -58,14 +47,23 @@ def table_join(table_words, n_valid, query_words, max_dup: int = 32):
         [jnp.arange(T, dtype=jnp.uint32), jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 31)]
     )
     W = words.shape[1]
+    lanes = (src,)
+    if payload is not None:
+        lanes = lanes + (jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)]),)
     out = jax.lax.sort(
-        tuple(words[:, w] for w in range(W)) + (src,), num_keys=W, is_stable=True
+        tuple(words[:, w] for w in range(W)) + lanes, num_keys=W, is_stable=True
     )
     sw = jnp.stack(out[:W], axis=-1)
     sq = (out[W] >> jnp.uint32(31)).astype(bool)
     ssrc = (out[W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     is_t = ~sq & (ssrc < jnp.asarray(n_valid, jnp.int32))  # valid table rows
-    prop = jnp.where(is_t, ssrc, -1)
+    if payload is None:
+        prop = jnp.where(is_t, ssrc, -1)
+    else:
+        # idx and payload fused in one i64 lane so ONE maximum propagates
+        # both (idx is unique per key, so the payload never decides)
+        combo = (ssrc.astype(jnp.int64) << jnp.int64(32)) | out[W + 1].astype(jnp.int64)
+        prop = jnp.where(is_t, combo, jnp.int64(-1))
     # propagate the (unique) table idx across its equal-key run: sortedness
     # makes key-equality at distance s transitive, so doubling shifts cover
     # runs shorter than max_dup in log2(max_dup) steps, both directions
@@ -84,9 +82,45 @@ def table_join(table_words, n_valid, query_words, max_dup: int = 32):
     dest = jnp.where(sq, ssrc, jnp.int32(T + Q))
     back = jax.lax.sort((dest, prop), num_keys=1, is_stable=True)
     ans = back[1][:Q]
-    idx = jnp.clip(ans, 0, T - 1).astype(jnp.int32)
     found = ans >= 0
+    if payload is None:
+        idx = jnp.clip(ans, 0, T - 1).astype(jnp.int32)
+        return idx, found, None
+    idx = jnp.clip(ans >> jnp.int64(32), 0, T - 1).astype(jnp.int32)
+    pay = jnp.where(found, ans & jnp.int64(0xFFFFFFFF), 0).astype(jnp.uint32)
+    return idx, found, pay
+
+
+@partial(jax.jit, static_argnames=("max_dup",))
+def table_join(table_words, n_valid, query_words, max_dup: int = 32):
+    """Sort-join lookup: same contract as table_lookup (idx, found).
+
+    TPU-preferred for large query sets: one lexsort of the (T+Q) rows plus a
+    bounded log-shift propagation replaces the bisection loop, whose ~log(T)
+    dynamic row gathers dominate on TPU (measured ~7x slower at millions of
+    rows — XLA:TPU gathers are far more expensive than its sorts).
+
+    Precondition: fewer than max_dup rows (table + queries combined) share
+    any key — true for de Bruijn neighbor joins, where a key can be queried
+    by at most 8 right-walking and 8 left-walking k-mers (one query each, so
+    <= 17 rows per key; default 32 covers it). Callers must
+    sentinelize invalid queries (all-ones) so they cannot crowd a valid key's
+    neighborhood; sentinel-keyed rows never match (table sentinels are
+    excluded by n_valid).
+    """
+    idx, found, _ = _sort_join(table_words, n_valid, query_words, None, max_dup)
     return idx, found
+
+
+@partial(jax.jit, static_argnames=("max_dup",))
+def table_join_payload(table_words, n_valid, query_words, payload, max_dup: int = 32):
+    """table_join that also returns a (T,) uint32 table attribute per query.
+
+    Returns (idx, found, pay); pay is payload[idx] where found, else 0 —
+    computed join-side (no post-join gather). Same preconditions as
+    table_join.
+    """
+    return _sort_join(table_words, n_valid, query_words, payload, max_dup)
 
 
 @partial(jax.jit, static_argnames=("upper",))

@@ -95,3 +95,38 @@ def test_sharded_compact_singles(rng):
             d.update(ft.to_host_dict())
         got[flag] = d
     assert got[True] == got[False] == count_kmers_oracle(reads, 21)
+
+
+def test_fused_split_paths_match_unfused(rng):
+    """aggregate_split_records == aggregate_records + split_run, and
+    merge_split4 == merge_aggregates4 + split_run (the fused production
+    paths skip the intermediate dedup compaction sort)."""
+    reads = low_cov_reads(rng, n=96)
+    codes, qual_ok, lens = reads_to_block(reads, B=96, L=64)
+    k, m = 21, 15
+    rec = C.read_kmer_records(jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), k, m)
+    args = (rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
+    agg = C.aggregate_records(*args)
+    want = C.split_run(*agg)
+    got = C.aggregate_split_records(*args)
+    for w, g in zip(want, got):
+        assert np.array_equal(np.asarray(w), np.asarray(g))
+
+    # merge: two split runs (trim to unequal pow2 occupancies first)
+    reads2 = low_cov_reads(rng, n=64)
+    codes2, q2, l2 = reads_to_block(reads2, B=64, L=64)
+    rec2 = C.read_kmer_records(jnp.asarray(codes2), jnp.asarray(q2), jnp.asarray(l2), k, m)
+    agg2 = C.aggregate_records(rec2["words"], rec2["left"], rec2["right"], rec2["count"], rec2["valid"])
+    run2 = C.split_run(*agg2)
+    a = KmerCountStore._trim(want, int(want[4]), int(want[7]))
+    b = KmerCountStore._trim(run2, int(run2[4]), int(run2[7]))
+    sets = (
+        a[:4], C.expand_singles(a[5], a[6], a[7]),
+        b[:4], C.expand_singles(b[5], b[6], b[7]),
+    )
+    want_m = C.split_run(*C.merge_aggregates4(*sets))
+    got_m = C.merge_split4(*sets)
+    assert int(want_m[4]) == int(got_m[4]) and int(want_m[7]) == int(got_m[7])
+    nm, ns = int(got_m[4]), int(got_m[7])
+    for i, sl in ((0, nm), (1, nm), (2, nm), (3, nm), (5, ns), (6, ns)):
+        assert np.array_equal(np.asarray(want_m[i])[:sl], np.asarray(got_m[i])[:sl]), i
