@@ -37,6 +37,11 @@ def minimizer_shard_targets(codes, k: int, m: int, n_shards: int, use_pallas: bo
     (ops/pallas_minimizer.py, bit-exact, ~23% faster) is the production
     default on TPU; CPU (tests) uses the jnp uint64 path.
     """
+    if n_shards == 1:
+        # single-shard: every target is 0; skip the sliding-window minimizer
+        # scan + hash entirely (it is ~1/3 of record extraction time)
+        B, L = codes.shape
+        return jnp.zeros((B, L - k + 1), jnp.int32)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and n_shards > 1
     if use_pallas:
@@ -217,34 +222,77 @@ def _group_sums_bounded(words, count, l4, r4, mult: int):
     return jnp.minimum(pay, MAX_KMER_COUNT), is_last, is_sent
 
 
-def _dedup_sorted(words, count, l4, r4):
-    """Segment-reduce duplicate adjacent keys in lexsorted rows.
+def _pallas_compact_ok(N: int) -> bool:
+    """Gate for the Pallas ragged-append compaction (ops/pallas_compact.py):
+    TPU only, and large enough that the two-phase formulation wins."""
+    from .pallas_compact import TILE
 
-    Returns same-shape arrays with unique rows compacted to the front
-    (sentinel rows group at the end), plus n_unique (excluding sentinels).
-    Counts saturate at the uint16 ceiling (reference kmer_count_t semantics,
-    kcount_cpu.cpp:152-155) after every reduce. Compaction is one stable
-    1-key flag sort.
+    return jax.default_backend() == "tpu" and N >= 4 * TILE
+
+
+def _pad_tile_lanes(lanes, flags, dead_class: int):
+    """Pad (N,) lanes + flags to a TILE multiple with dead-class rows."""
+    from .pallas_compact import TILE
+
+    N = flags.shape[0]
+    Np = -(-N // TILE) * TILE
+    if Np != N:
+        pad = Np - N
+        flags = jnp.concatenate([flags, jnp.full((pad,), dead_class, flags.dtype)])
+        lanes = tuple(jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) for x in lanes)
+    return lanes, flags
+
+
+def _compact_keep(words, keep, payload):
+    """Stable compaction of keep-flagged rows to a dense prefix.
+
+    Returns (words (N, W) with sentinel tail, *payload lanes with zero
+    tails, n_keep). On TPU uses the Pallas ragged-append compaction
+    (one tile-local flag sort + one O(N) append; measured 2.8x the global
+    flag sort at 18M rows); elsewhere one stable 1-key flag sort.
     """
     N, W = words.shape
-    sums, is_last, is_sent = _group_sums_scan(words, count, l4, r4)
-    keep = is_last & ~is_sent
-    packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
+    if _pallas_compact_ok(N):
+        from .pallas_compact import compact_classes
+
+        flags = jnp.where(keep, 0, 1).astype(jnp.int32)
+        lanes = tuple(words[:, i] for i in range(W)) + tuple(payload)
+        lanes, flags = _pad_tile_lanes(lanes, flags, 1)
+        ((out, n),) = compact_classes(lanes, flags, 2, emit=(0,))
+        live = jnp.arange(N, dtype=jnp.int32) < n
+        u_words = jnp.where(
+            live[:, None], jnp.stack([x[:N] for x in out[:W]], axis=-1),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        pays = tuple(jnp.where(live, x[:N], 0) for x in out[W:])
+        return (u_words,) + pays + (n.astype(jnp.int32),)
     flag = jnp.where(keep, U32(0), U32(1))
     out = jax.lax.sort(
-        (flag,) + tuple(words[:, w] for w in range(W)) + packed,
+        (flag,) + tuple(words[:, i] for i in range(W)) + tuple(payload),
         num_keys=1, is_stable=True,
     )
     live = out[0] == 0
     u_words = jnp.where(
         live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF)
     )
-    u_count, u_l4, u_r4 = _unpack_sums(*out[1 + W :])
-    z = live.astype(jnp.int32)
-    u_count = u_count * z
-    u_l4 = u_l4 * z[:, None]
-    u_r4 = u_r4 * z[:, None]
-    n_unique = jnp.sum(keep).astype(jnp.int32)
+    pays = tuple(jnp.where(live, x, 0) for x in out[1 + W :])
+    n = jnp.sum(keep).astype(jnp.int32)
+    return (u_words,) + pays + (n,)
+
+
+def _dedup_sorted(words, count, l4, r4):
+    """Segment-reduce duplicate adjacent keys in lexsorted rows.
+
+    Returns same-shape arrays with unique rows compacted to the front
+    (sentinel rows group at the end), plus n_unique (excluding sentinels).
+    Counts saturate at the uint16 ceiling (reference kmer_count_t semantics,
+    kcount_cpu.cpp:152-155) after every reduce.
+    """
+    sums, is_last, is_sent = _group_sums_scan(words, count, l4, r4)
+    keep = is_last & ~is_sent
+    packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
+    u_words, *pays, n_unique = _compact_keep(words, keep, packed)
+    u_count, u_l4, u_r4 = _unpack_sums(*pays)
     return u_words, u_count, u_l4, u_r4, n_unique
 
 
@@ -258,25 +306,11 @@ def _dedup_sorted_bounded(words, count, l4, r4, mult: int):
     drop flag (kept rows stay lexsorted; dropped/sentinel rows sink). All
     sums are exact in int32 (<= mult * 0xFFFF) before the u16-ceiling clamp.
     """
-    N, W = words.shape
     sums, is_last, is_sent = _group_sums_bounded(words, count, l4, r4, mult)
     keep = is_last & ~is_sent
     packed = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
-    flag = jnp.where(keep, U32(0), U32(1))
-    out = jax.lax.sort(
-        (flag,) + tuple(words[:, w] for w in range(W)) + packed,
-        num_keys=1, is_stable=True,
-    )
-    sflag = out[0]
-    u_words = jnp.where(
-        (sflag == 0)[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF)
-    )
-    u_count, u_l4, u_r4 = _unpack_sums(*out[1 + W :])
-    zero = (sflag != 0).astype(jnp.int32)
-    u_count = u_count * (1 - zero)
-    u_l4 = u_l4 * (1 - zero)[:, None]
-    u_r4 = u_r4 * (1 - zero)[:, None]
-    n_unique = jnp.sum(keep).astype(jnp.int32)
+    u_words, *pays, n_unique = _compact_keep(words, keep, packed)
+    u_count, u_l4, u_r4 = _unpack_sums(*pays)
     return u_words, u_count, u_l4, u_r4, n_unique
 
 
@@ -360,21 +394,22 @@ def merge_aggregates(a_words, a_count, a_l4, a_r4, b_words, b_count, b_l4, b_r4)
 def _get_ext_calls(c4, count, dmin_thres):
     """Vectorized extension call (reference kcount_cpu.cpp:173-182).
 
-    c4: (N, 4) int64 per-base counts (clamped to uint16 range by caller);
-    count: (N,) int64 clamped total. Ties break toward the greater base char
-    (T > G > C > A), encoded by key = count*4 + base_code.
+    c4: (N, 4) integer per-base counts (clamped to uint16 range by caller);
+    count: (N,) clamped total — any signed int dtype (values fit i32; i64
+    costs 2x on TPU). Ties break toward the greater base char (T > G > C >
+    A), encoded by key = count*4 + base_code.
     """
-    key = c4 * 4 + jnp.arange(4, dtype=I64)[None, :]
+    key = c4 * 4 + jnp.arange(4, dtype=c4.dtype)[None, :]
     top_key = jnp.max(key, axis=-1)
     top_code = (top_key % 4).astype(jnp.uint8)
     top_cnt = top_key // 4
-    runner_cnt = jnp.max(jnp.where(key == top_key[:, None], I64(-1), key), axis=-1) // 4
+    runner_cnt = jnp.max(jnp.where(key == top_key[:, None], c4.dtype.type(-1), key), axis=-1) // 4
     # dmin_dyn = max((int)((1.0-0.9)*count), dmin_thres). The reference
     # computes this in double precision where 1.0-0.9 is slightly BELOW 0.1;
     # for integer count in [0, 65535] that truncation equals the pure-integer
     # form ceil(count/10)-1 (verified exhaustively in tests), keeping float64
     # out of the TPU path.
-    dmin_dyn = jnp.maximum((count + 9) // 10 - 1, I64(dmin_thres))
+    dmin_dyn = jnp.maximum((count + 9) // 10 - 1, count.dtype.type(dmin_thres))
     call = jnp.where(
         top_cnt < dmin_dyn,
         jnp.uint8(EXT_X),
@@ -493,14 +528,48 @@ def _split_from_scanned(words, sums, is_last, is_sent):
     N, W = words.shape
     keep_m = is_last & ~is_sent & (sums[:, 0] >= 2)
     keep_s = is_last & ~is_sent & (sums[:, 0] == 1)
-    dead = ~(keep_m | keep_s)
 
-    w = jnp.where(dead[:, None], jnp.uint32(0xFFFFFFFF), words)
     ext = _ext_code_of(sums[:, 1:5], keep_s) | (
         _ext_code_of(sums[:, 5:9], keep_s) << jnp.uint8(4)
     )
     p0, p1, p2, p3, p4 = _pack_sums(sums[:, 0], sums[:, 1:5], sums[:, 5:9])
     p0 = p0 | jnp.where(keep_s, ext.astype(U32) << U32(16), U32(0))
+    rows = jnp.arange(N, dtype=jnp.int32)
+
+    if _pallas_compact_ok(N):
+        from .pallas_compact import compact_classes
+
+        flags = jnp.where(keep_m, 0, jnp.where(keep_s, 1, 2)).astype(jnp.int32)
+        lanes = tuple(words[:, i] for i in range(W)) + (p0, p1, p2, p3, p4)
+        lanes, flags = _pad_tile_lanes(lanes, flags, 2)
+        # singles only append the key words + the (count|ext) lane
+        (m_out, n_multi), (s_out, n_single) = compact_classes(
+            lanes, flags, 3, emit=(0, 1),
+            emit_lanes=(tuple(range(W + 5)), tuple(range(W + 1))),
+        )
+        n_multi = n_multi.astype(jnp.int32)
+        n_single = n_single.astype(jnp.int32)
+        m_live = rows < n_multi
+        m_words = jnp.where(
+            m_live[:, None], jnp.stack([x[:N] for x in m_out[:W]], axis=-1),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        m_count, m_l4, m_r4 = _unpack_sums(
+            jnp.where(m_live, m_out[W][:N] & U32(0xFFFF), 0),
+            *(jnp.where(m_live, x[:N], 0) for x in m_out[W + 1 :]),
+        )
+        s_live = rows < n_single
+        s_words = jnp.where(
+            s_live[:, None], jnp.stack([x[:N] for x in s_out[:W]], axis=-1),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        s_ext = jnp.where(
+            s_live, (s_out[W][:N] >> U32(16)).astype(jnp.uint8), jnp.uint8(0)
+        )
+        return m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single
+
+    dead = ~(keep_m | keep_s)
+    w = jnp.where(dead[:, None], jnp.uint32(0xFFFFFFFF), words)
     flag = jnp.where(keep_m, U32(0), jnp.where(keep_s, U32(1), U32(2)))
     out = jax.lax.sort(
         (flag,) + tuple(w[:, i] for i in range(W)) + (p0, p1, p2, p3, p4),
@@ -510,7 +579,6 @@ def _split_from_scanned(words, sums, is_last, is_sent):
     n_single = jnp.sum(keep_s).astype(jnp.int32)
 
     sw = jnp.stack(out[1 : 1 + W], axis=-1)
-    rows = jnp.arange(N, dtype=jnp.int32)
     m_live = rows < n_multi
     m_words = jnp.where(m_live[:, None], sw, jnp.uint32(0xFFFFFFFF))
     m_count, m_l4, m_r4 = _unpack_sums(
@@ -613,24 +681,16 @@ def finalize_table(u_words, u_count, u_l4, u_r4, n_unique, dmin_thres: int = 2):
     Returns (words, count u16->i32, left u8, right u8, n_kept).
     """
     N = u_words.shape[0]
-    count = jnp.minimum(u_count.astype(I64), I64(MAX_KMER_COUNT))
-    l4 = jnp.minimum(u_l4.astype(I64), I64(MAX_KMER_COUNT))
-    r4 = jnp.minimum(u_r4.astype(I64), I64(MAX_KMER_COUNT))
+    count = jnp.minimum(u_count.astype(jnp.int32), jnp.int32(MAX_KMER_COUNT))
+    l4 = jnp.minimum(u_l4.astype(jnp.int32), jnp.int32(MAX_KMER_COUNT))
+    r4 = jnp.minimum(u_r4.astype(jnp.int32), jnp.int32(MAX_KMER_COUNT))
     left = _get_ext_calls(l4, count, dmin_thres)
     right = _get_ext_calls(r4, count, dmin_thres)
     row_valid = jnp.arange(N) < n_unique
     keep = row_valid & (count >= 2) & ~((left == EXT_X) & (right == EXT_X))
-    # compact: rows arrive lexsorted, so a stable 1-key flag sort carrying
+    # compact: rows arrive lexsorted, so a stable keep-compaction carrying
     # one packed (count|left|right) lane keeps the kept prefix sorted
-    W = u_words.shape[-1]
-    flag = jnp.where(keep, U32(0), U32(1))
     packed = _pack_cnt_ext(count, left, right)
-    out = jax.lax.sort(
-        (flag,) + tuple(u_words[:, w] for w in range(W)) + (packed,),
-        num_keys=1, is_stable=True,
-    )
-    live = out[0] == 0
-    w_s = jnp.where(live[:, None], jnp.stack(out[1 : 1 + W], axis=-1), jnp.uint32(0xFFFFFFFF))
-    cnt_s, left_s, right_s = _unpack_cnt_ext(out[1 + W])
-    n_kept = jnp.sum(keep).astype(jnp.int32)
+    w_s, pay, n_kept = _compact_keep(u_words, keep, (packed,))
+    cnt_s, left_s, right_s = _unpack_cnt_ext(pay)
     return (w_s, cnt_s, left_s, right_s, n_kept)
