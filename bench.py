@@ -45,7 +45,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mhm2_proxy_tpu.kcount import KmerCountStore
-    from mhm2_proxy_tpu.dbjg.traverse import build_edges, _pad_pow2
+    from mhm2_proxy_tpu.dbjg.traverse import build_edges, fit_table_rows
     from mhm2_proxy_tpu.ops import count as C
     from mhm2_proxy_tpu.constants import minimizer_len_for_k
 
@@ -78,7 +78,7 @@ def main():
         table = store.finalize()
         fence((table.words, table.count))
         t2 = time.perf_counter()
-        tbl = _pad_pow2(table)
+        tbl = fit_table_rows(table)
         edges = build_edges(tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
         fence(edges)
         t3 = time.perf_counter()

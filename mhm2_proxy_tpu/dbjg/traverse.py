@@ -67,13 +67,15 @@ def build_edges(words, count, left, right, n, k: int):
     q = jnp.where(jnp.concatenate([uu, uu])[:, None], q, jnp.uint32(0xFFFFFFFF))
     # neighbor ext codes ride the join as a payload lane: four dynamic row
     # gathers (left/right at b_idx/p_idx, ~2T indices each) replaced by one
-    # extra sort lane (gathers are the XLA:TPU anti-pattern)
-    ext_pay = left.astype(jnp.uint32) | (right.astype(jnp.uint32) << jnp.uint32(8))
-    idx2, found2, pay2 = table_join_payload(words, n, q, ext_pay)
+    # extra sort lane (gathers are the XLA:TPU anti-pattern). Ext codes are
+    # 0..5, so 3 bits each: payload_bits=6 keeps the join's (idx, payload)
+    # propagation in one u32 lane for tables up to 2^25 rows.
+    ext_pay = left.astype(jnp.uint32) | (right.astype(jnp.uint32) << jnp.uint32(3))
+    idx2, found2, pay2 = table_join_payload(words, n, q, ext_pay, payload_bits=6)
     b_idx, b_found = idx2[:T], found2[:T]
     p_idx, p_found = idx2[T:], found2[T:]
-    b_left = (pay2[:T] & jnp.uint32(0xFF)).astype(jnp.uint8)
-    b_right = ((pay2[:T] >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+    b_left = (pay2[:T] & jnp.uint32(0x7)).astype(jnp.uint8)
+    b_right = ((pay2[:T] >> jnp.uint32(3)) & jnp.uint32(0x7)).astype(jnp.uint8)
     b_uu = (b_left < 4) & (b_right < 4)
     # oriented left ext of B: comp(right) if B canonical is the rc of B_or
     b_left_or = jnp.where(b_rc, jnp.uint8(3) - b_right, b_left)
@@ -83,8 +85,8 @@ def build_edges(words, count, left, right, n, k: int):
     # (canonical-aligned) exits via R; entering via R (rc) exits via L.
     r_port = jnp.where(b_rc, jnp.int32(1), jnp.int32(0))  # entry port on B
 
-    p_left = (pay2[T:] & jnp.uint32(0xFF)).astype(jnp.uint8)
-    p_right = ((pay2[T:] >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+    p_left = (pay2[T:] & jnp.uint32(0x7)).astype(jnp.uint8)
+    p_right = ((pay2[T:] >> jnp.uint32(3)) & jnp.uint32(0x7)).astype(jnp.uint8)
     p_uu = (p_left < 4) & (p_right < 4)
     p_right_or = jnp.where(p_rc, jnp.uint8(3) - p_left, p_right)
     l_ok = uu & p_found & p_uu & (p_right_or == a_last.astype(jnp.uint8)) & (p_idx != self_idx)
@@ -223,6 +225,30 @@ def stitch_paths_walk(edges: dict, words, count, k: int):
     return contigs
 
 
+def _resize_rows(table, target: int):
+    T = table.words.shape[0]
+    if target == T:
+        return table
+    import dataclasses
+
+    if target < T:
+        return dataclasses.replace(
+            table,
+            words=table.words[:target],
+            count=table.count[:target],
+            left=table.left[:target],
+            right=table.right[:target],
+        )
+    padn = target - T
+    words = jnp.concatenate(
+        [table.words, jnp.full((padn, table.words.shape[1]), 0xFFFFFFFF, jnp.uint32)]
+    )
+    count = jnp.concatenate([table.count, jnp.zeros((padn,), table.count.dtype)])
+    left = jnp.concatenate([table.left, jnp.full((padn,), 5, jnp.uint8)])
+    right = jnp.concatenate([table.right, jnp.full((padn,), 5, jnp.uint8)])
+    return dataclasses.replace(table, words=words, count=count, left=left, right=right)
+
+
 def _pad_pow2(table):
     """Pad table arrays to the next power-of-two row count.
 
@@ -231,19 +257,22 @@ def _pad_pow2(table):
     use the all-ones empty-key sentinel (sorts last, never UU).
     """
     T = table.words.shape[0]
-    P2 = 1 << max(8, (T - 1).bit_length())
-    if P2 == T:
-        return table
-    padn = P2 - T
-    words = jnp.concatenate(
-        [table.words, jnp.full((padn, table.words.shape[1]), 0xFFFFFFFF, jnp.uint32)]
-    )
-    count = jnp.concatenate([table.count, jnp.zeros((padn,), table.count.dtype)])
-    left = jnp.concatenate([table.left, jnp.full((padn,), 5, jnp.uint8)])
-    right = jnp.concatenate([table.right, jnp.full((padn,), 5, jnp.uint8)])
-    import dataclasses
+    return _resize_rows(table, 1 << max(8, (T - 1).bit_length()))
 
-    return dataclasses.replace(table, words=words, count=count, left=left, right=right)
+
+def fit_table_rows(table):
+    """Slice (or pad) table arrays to trim_rows(n) of the LIVE row count.
+
+    A finalized table arrives at full LSM capacity, often >2x its occupancy;
+    every sentinel pad row rides build_edges' join sorts at 3 rows each
+    (1 table + 2 neighbor queries). The one-scalar host fetch (~20 ms over
+    the tunnel) buys back several hundred ms at production sizes. Half-
+    octave targets bound the compile-shape zoo (see ops.count.trim_rows).
+    """
+    from ..ops.count import trim_rows
+
+    n = int(np.sum(np.asarray(table.n)))
+    return _resize_rows(table, max(256, trim_rows(n)))
 
 
 def term_stats_to_dict(term_stats) -> dict:
@@ -262,7 +291,7 @@ def traverse_debruijn_graph(table, k: int, stats: dict | None = None):
     (deadend/fork/conflict/repeat, reference dbjg_traversal.cpp:128-141)."""
     from .stitch import stitch_paths
 
-    table = _pad_pow2(table)
+    table = fit_table_rows(table)
     edges = build_edges(table.words, table.count, table.left, table.right, table.n, k)
     if stats is not None:
         stats["terminations"] = term_stats_to_dict(edges["term_stats"])

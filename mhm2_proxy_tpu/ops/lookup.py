@@ -32,12 +32,15 @@ def _lex_leq_rows(a, b):
     return le
 
 
-def _sort_join(table_words, n_valid, query_words, payload, max_dup: int):
+def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
+               payload_bits: int = 32):
     """Shared sort-join core; payload is an optional (T,) uint32 lane that
     rides the join (returned per query alongside idx) — fetching table
     attributes through the join instead of post-join dynamic gathers, the
     XLA:TPU anti-pattern (a row gather at millions of indices costs several
-    times the extra sort lane)."""
+    times the extra sort lane). When (T+1) << payload_bits fits u32, the
+    (idx, payload) combo propagates in ONE u32 lane instead of an i64 (i64
+    lanes cost 2x through the sort network and propagation on TPU)."""
     T = table_words.shape[0]
     Q = query_words.shape[0]
     words = jnp.concatenate([table_words, query_words])
@@ -57,8 +60,14 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int):
     sq = (out[W] >> jnp.uint32(31)).astype(bool)
     ssrc = (out[W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     is_t = ~sq & (ssrc < jnp.asarray(n_valid, jnp.int32))  # valid table rows
+    narrow = payload is not None and (T + 1) * (1 << payload_bits) <= (1 << 32)
     if payload is None:
         prop = jnp.where(is_t, ssrc, -1)
+    elif narrow:
+        # (idx+1) << bits | payload in one u32; 0 = not found. maximum
+        # propagates both (idx is unique per key: payload never decides)
+        combo = ((ssrc + 1).astype(jnp.uint32) << jnp.uint32(payload_bits)) | out[W + 1]
+        prop = jnp.where(is_t, combo, jnp.uint32(0))
     else:
         # idx and payload fused in one i64 lane so ONE maximum propagates
         # both (idx is unique per key, so the payload never decides)
@@ -66,14 +75,17 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int):
         prop = jnp.where(is_t, combo, jnp.int64(-1))
     # propagate the (unique) table idx across its equal-key run: sortedness
     # makes key-equality at distance s transitive, so doubling shifts cover
-    # runs shorter than max_dup in log2(max_dup) steps, both directions
+    # runs shorter than max_dup in log2(max_dup) steps, both directions.
+    # The fill must be the dtype's "missing" value (0 for the unsigned
+    # narrow combo, -1 for the signed paths) so maximum ignores it.
+    miss = prop.dtype.type(0 if prop.dtype == jnp.uint32 else -1)
     s = 1
     while s < max_dup:
         same_d = jnp.all(sw[s:] == sw[:-s], axis=-1)
-        down = jnp.concatenate([jnp.full((s,), -1, prop.dtype),
-                                jnp.where(same_d, prop[:-s], -1)])
-        up = jnp.concatenate([jnp.where(same_d, prop[s:], -1),
-                              jnp.full((s,), -1, prop.dtype)])
+        down = jnp.concatenate([jnp.full((s,), miss, prop.dtype),
+                                jnp.where(same_d, prop[:-s], miss)])
+        up = jnp.concatenate([jnp.where(same_d, prop[s:], miss),
+                              jnp.full((s,), miss, prop.dtype)])
         prop = jnp.maximum(prop, jnp.maximum(down, up))
         s *= 2
     # route answers back to query order with ONE stable 1-key sort by
@@ -82,10 +94,16 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int):
     dest = jnp.where(sq, ssrc, jnp.int32(T + Q))
     back = jax.lax.sort((dest, prop), num_keys=1, is_stable=True)
     ans = back[1][:Q]
-    found = ans >= 0
     if payload is None:
+        found = ans >= 0
         idx = jnp.clip(ans, 0, T - 1).astype(jnp.int32)
         return idx, found, None
+    if narrow:
+        found = ans > 0
+        idx = jnp.clip((ans >> jnp.uint32(payload_bits)).astype(jnp.int32) - 1, 0, T - 1)
+        pay = ans & jnp.uint32((1 << payload_bits) - 1)
+        return idx, found, pay
+    found = ans >= 0
     idx = jnp.clip(ans >> jnp.int64(32), 0, T - 1).astype(jnp.int32)
     pay = jnp.where(found, ans & jnp.int64(0xFFFFFFFF), 0).astype(jnp.uint32)
     return idx, found, pay
@@ -112,15 +130,19 @@ def table_join(table_words, n_valid, query_words, max_dup: int = 32):
     return idx, found
 
 
-@partial(jax.jit, static_argnames=("max_dup",))
-def table_join_payload(table_words, n_valid, query_words, payload, max_dup: int = 32):
+@partial(jax.jit, static_argnames=("max_dup", "payload_bits"))
+def table_join_payload(table_words, n_valid, query_words, payload,
+                       max_dup: int = 32, payload_bits: int = 32):
     """table_join that also returns a (T,) uint32 table attribute per query.
 
     Returns (idx, found, pay); pay is payload[idx] where found, else 0 —
-    computed join-side (no post-join gather). Same preconditions as
-    table_join.
+    computed join-side (no post-join gather). Declaring a tight
+    payload_bits lets the (idx, payload) combo propagate in one u32 lane
+    when (T+1) << payload_bits fits (i64 lanes cost 2x on TPU). Same
+    preconditions as table_join.
     """
-    return _sort_join(table_words, n_valid, query_words, payload, max_dup)
+    return _sort_join(table_words, n_valid, query_words, payload, max_dup,
+                      payload_bits)
 
 
 @partial(jax.jit, static_argnames=("upper",))
