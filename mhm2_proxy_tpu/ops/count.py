@@ -182,9 +182,28 @@ def _group_sums_scan(words, count, l4, r4):
 
     Returns (sums (N,9) i32 clamped to the u16 ceiling, is_last, is_sent).
     """
+    N = words.shape[0]
     neq = jnp.any(words[1:] != words[:-1], axis=-1)
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+    if _pallas_compact_ok(N):
+        # fused single-pass Pallas scan (XLA lowers the cumsum + cummax to
+        # several full-array passes, ~10x off roofline at 18M rows)
+        from .pallas_scan import TILE as SCAN_TILE, group_sums_scan_lanes
+
+        pad = -(-N // SCAN_TILE) * SCAN_TILE - N
+        lanes = (count.astype(jnp.int32),) + tuple(
+            l4[:, i].astype(jnp.int32) for i in range(4)
+        ) + tuple(r4[:, i].astype(jnp.int32) for i in range(4))
+        st = is_start
+        if pad:
+            # pad rows: pay 0, start True -> carries unaffected
+            lanes = tuple(jnp.concatenate([x, jnp.zeros((pad,), jnp.int32)]) for x in lanes)
+            st = jnp.concatenate([st, jnp.ones((pad,), bool)])
+        out = group_sums_scan_lanes(lanes, st, clamp=MAX_KMER_COUNT)
+        sums = jnp.stack([x[:N] for x in out], axis=1)
+        return sums, is_last, is_sent
     pay = jnp.concatenate(
         [count[:, None].astype(jnp.int32), l4.astype(jnp.int32), r4.astype(jnp.int32)],
         axis=1,
@@ -193,7 +212,6 @@ def _group_sums_scan(words, count, l4, r4):
     excl = cs - pay
     start_excl = jax.lax.cummax(jnp.where(is_start[:, None], excl, 0), axis=0)
     sums = jnp.minimum(cs - start_excl, MAX_KMER_COUNT)  # valid at last rows
-    is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
     return sums, is_last, is_sent
 
 
