@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
     from mhm2_proxy_tpu.kcount import KmerCountStore
     from mhm2_proxy_tpu.kcount.kmer_store import FinalTable
-    from mhm2_proxy_tpu.dbjg.traverse import build_edges, _pad_pow2
+    from mhm2_proxy_tpu.dbjg.traverse import build_edges, fit_table_rows
     from mhm2_proxy_tpu.ops import count as C
     from mhm2_proxy_tpu.constants import minimizer_len_for_k
 
@@ -92,7 +92,7 @@ def main():
     table = FinalTable(k, words, cnt, left, right, n)
     print(f"  table kmers: {int(np.asarray(n))} cap {words.shape}")
 
-    tbl = _pad_pow2(table)
+    tbl = fit_table_rows(table)
     t("build_edges", build_edges, tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
 
     # sub-pieces of block_to_split_run
