@@ -21,6 +21,7 @@ pack as G regardless of quality; N extensions are always ignored).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -283,15 +284,30 @@ def merge_pairs_block(codes1, quals1, len1, codes2, quals2, len2, qual_offset: i
     )
 
 
-def merge_reads_arrays(codes1, quals1, len1, codes2, quals2, len2, qual_offset=33):
+def merge_reads_arrays(codes1, quals1, len1, codes2, quals2, len2, qual_offset=33,
+                       use_native: bool | None = None):
     """Host wrapper: returns per-pair merged results as numpy.
 
-    Pinned to the LOCAL CPU backend: merging is an ingest-side stage whose
-    inputs and outputs live on the host (PackedReads), so running it on a
-    remote-tunnel accelerator pays ~20 MB of tunnel traffic per block — the
-    measured ingest bottleneck at arctic scale — for compute the host does
-    in about the same time.
+    Merging is an ingest-side stage whose inputs and outputs live on the
+    host (PackedReads), so running it on a remote-tunnel accelerator pays
+    ~20 MB of tunnel traffic per block for compute the host does in about
+    the same time. Production path: the native C++ scan
+    (native/merge_native.cpp, the reference merge_reads.cpp analog) — a
+    scalar early-exit scan is ~100x the block-vectorized JAX-on-CPU
+    formulation, which remains the fallback/test path (equivalence-tested,
+    tests/test_merge.py).
     """
+    if use_native is None:
+        use_native = os.environ.get("MHM2_NO_NATIVE_MERGE", "") != "1"
+    if use_native:
+        from . import native
+
+        if native.merge_available():
+            return native.merge_pairs(
+                np.asarray(codes1), np.asarray(quals1), np.asarray(len1),
+                np.asarray(codes2), np.asarray(quals2), np.asarray(len2),
+                qual_offset=qual_offset,
+            )
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         args = (

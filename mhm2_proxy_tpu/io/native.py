@@ -49,12 +49,69 @@ def _load():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    try:
+        lib.mhm2_merge_pairs.restype = ctypes.c_int64
+        lib.mhm2_merge_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+    except AttributeError:
+        # stale .so predating the merge engine; rebuild lazily next run
+        lib._has_merge = False
+    else:
+        lib._has_merge = True
     _lib = lib
     return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def merge_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_merge", False)
+
+
+def merge_pairs(codes1, quals1, len1, codes2, quals2, len2, qual_offset=33,
+                n_threads: int | None = None):
+    """Native paired-read merge (native/merge_native.cpp).
+
+    Same result dict contract as io.merge.merge_pairs_block (numpy arrays):
+    merged, m_codes, m_quals, m_len, overlap, quals1_z, quals2_z,
+    n_ambiguous.
+    """
+    lib = _load()
+    c1 = np.ascontiguousarray(codes1, np.uint8)
+    c2 = np.ascontiguousarray(codes2, np.uint8)
+    q1 = np.ascontiguousarray(quals1, np.uint8)
+    q2 = np.ascontiguousarray(quals2, np.uint8)
+    l1 = np.ascontiguousarray(len1, np.int32)
+    l2 = np.ascontiguousarray(len2, np.int32)
+    B, L = c1.shape
+    if n_threads is None:
+        n_threads = max(1, (os.cpu_count() or 2))
+    merged = np.empty((B,), np.uint8)
+    m_codes = np.empty((B, 2 * L), np.uint8)
+    m_quals = np.empty((B, 2 * L), np.uint8)
+    m_len = np.empty((B,), np.int32)
+    overlap = np.empty((B,), np.int32)
+    q1z = np.empty((B, L), np.uint8)
+    q2z = np.empty((B, L), np.uint8)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    n_ambig = lib.mhm2_merge_pairs(
+        p(c1), p(q1), p(l1), p(c2), p(q2), p(l2),
+        B, L, qual_offset, n_threads,
+        p(merged), p(m_codes), p(m_quals), p(m_len), p(overlap), p(q1z), p(q2z),
+    )
+    return dict(
+        merged=merged.astype(bool), m_codes=m_codes, m_quals=m_quals,
+        m_len=m_len, overlap=overlap, quals1_z=q1z, quals2_z=q2z,
+        n_ambiguous=int(n_ambig),
+    )
 
 
 def resync(buf: bytes, start: int) -> int:

@@ -136,3 +136,39 @@ def test_shortlist_equals_dense(rng):
     out = merge_reads_arrays(c1, q1, l1, c2, q2, l2)
     for key in ("merged", "m_len", "m_codes", "m_quals", "overlap"):
         np.testing.assert_array_equal(np.asarray(dense[key]), out[key], err_msg=key)
+
+
+def test_native_merge_equals_jax(rng):
+    """The C++ merge engine (native/merge_native.cpp) must be bit-equal to
+    the JAX formulation on simulated pairs (incl. Ns and non-overlapping
+    pairs)."""
+    from mhm2_proxy_tpu.io import native
+
+    if not native.merge_available():
+        import pytest
+
+        pytest.skip("native merge unavailable")
+    from mhm2_proxy_tpu.utils.synth import random_genome, simulate_reads
+    from mhm2_proxy_tpu.io.merge import merge_reads_arrays
+
+    genome = random_genome(rng, 6000)
+    ids, seqs, quals = simulate_reads(
+        rng, genome, coverage=12.0, read_len=100, err_rate=0.01, insert_mean=150
+    )
+    # inject Ns and a few random (non-overlapping) pairs
+    seqs = [
+        "".join("N" if rng.random() < 0.01 else chr(b) for b in s) for s in seqs
+    ]
+    for i in range(0, 20, 2):
+        seqs[i] = "".join(rng.choice(list("ACGT"), size=100))
+    quals = [q.decode() if isinstance(q, bytes) else q for q in quals]
+    pairs = list(zip(seqs[0::2], quals[0::2], seqs[1::2], quals[1::2]))
+    c1, q1, l1, c2, q2, l2 = pairs_to_arrays(pairs, 100)
+
+    nat = merge_reads_arrays(c1, q1, l1, c2, q2, l2, use_native=True)
+    jx = merge_reads_arrays(c1, q1, l1, c2, q2, l2, use_native=False)
+    assert int(nat["merged"].sum()) > 50  # the workload actually merges
+    np.testing.assert_array_equal(nat["merged"], jx["merged"])
+    for key in ("m_len", "overlap", "m_codes", "m_quals", "quals1_z", "quals2_z"):
+        np.testing.assert_array_equal(np.asarray(nat[key]), np.asarray(jx[key]), err_msg=key)
+    assert int(nat["n_ambiguous"]) == int(jx["n_ambiguous"])
