@@ -30,12 +30,17 @@ BASELINE_KMERS_PER_SEC = 10e6
 
 
 def fence(tree):
-    """Real execution barrier: fetch one element of every array leaf."""
+    """Real execution barrier: fetch one element of every array leaf.
+
+    All fetches go through ONE jax.device_get call: the tunnel batches them
+    into a single ~34 ms round-trip. Per-leaf sequential fetches cost one
+    round-trip EACH and inflated every multi-output stage timing by
+    n_leaves * RTT (the round-1 recorded numbers suffered this)."""
     import jax
 
-    for x in jax.tree.leaves(tree):
-        if hasattr(x, "ndim"):
-            np.asarray(jax.device_get(x[(0,) * x.ndim]))
+    leaves = [x[(0,) * x.ndim] for x in jax.tree.leaves(tree) if hasattr(x, "ndim")]
+    if leaves:
+        jax.device_get(leaves)
 
 
 def main():

@@ -134,7 +134,17 @@ def revcomp_words(words: jnp.ndarray, k: int) -> jnp.ndarray:
     comp = ~words
     rev = _rev2bits32(comp[..., ::-1])
     shifted = _shift_left_words(rev, 32 * W - 2 * k)
-    return shifted & jnp.asarray(_endmask_words(k, W), U32)
+    # x & TOPMASK via x - (x & ~TOPMASK): XLA:TPU (v5e, jax 0.8.x) MISCOMPILES
+    # the direct top-bits AND when this whole chain is fused at production
+    # shapes (observed at (131072, 140, W): the lowest kept bit of some lanes
+    # is dropped, silently corrupting ~half of all canonical keys; equal
+    # kernels at (512, ...) compile correctly). The complement mask is a
+    # positive i32 splat and compiles correctly at every shape tested; the
+    # subtraction is exact since the parts are disjoint. Same workaround as
+    # ops/pallas_extract.py::endmask (Mosaic shows the identical bug).
+    # Verified on-chip by scripts/verify_extract_tpu.py.
+    inv = jnp.asarray(~_endmask_words(k, W), U32)
+    return shifted - (shifted & inv)
 
 
 @jax.jit

@@ -70,9 +70,39 @@ def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, d
     Returns dict of flattened (B*P,)-shaped arrays: words (B*P, W), left,
     right (uint8 ext codes), count (int32), valid (bool), target (int32 shard
     ids from minimizer hash, kmer_dht.cpp:193-196).
+
+    On TPU the words/exts/valid come from the fused Pallas extraction kernel
+    (ops/pallas_extract.py) rather than the jnp formulation below: XLA:TPU
+    miscompiles the fused pack+revcomp chain at production block shapes
+    (observed at (131072, 160): the lowest kept bit of canonical-key lanes is
+    dropped for ~half the rows, silently corrupting counts — see the
+    workaround note in bitkmer.revcomp_words). The kernel is bit-exact at
+    every shape (scripts/verify_extract_tpu.py) and ~an order of magnitude
+    less HBM traffic. Invalid rows then carry the all-ones key sentinel and
+    zero count/exts instead of undefined garbage — every consumer masks by
+    `valid`, so the two paths are interchangeable (equivalence-tested).
     """
     B, L = codes.shape
     P = L - k + 1
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_extract import extract_record_lanes
+
+        interp = jax.default_backend() != "tpu"
+        lanes, pay = extract_record_lanes(codes, qual_ok, lens, k, interpret=interp)
+        pay = pay.reshape(-1)
+        words = jnp.stack([x.reshape(-1) for x in lanes], axis=-1)
+        valid = pay != 0
+        cnt, left, right = _unpack_cnt_ext(pay)
+        if depth is not None:
+            d = jnp.clip(depth, 0, MAX_KMER_COUNT).astype(jnp.int32)
+            cnt = cnt * jnp.broadcast_to(d[:, None], (B, P)).reshape(-1)
+        target = minimizer_shard_targets(codes, k, m, n_shards, use_pallas).reshape(-1)
+        return dict(
+            words=words, left=left, right=right, count=cnt, valid=valid,
+            target=target,
+        )
     words = kmer_words_from_codes(codes, k)  # (B, P, W)
     cwords, was_rc = canonicalize_words(words, k)
 
@@ -632,6 +662,32 @@ def aggregate_split_records(words, left, right, count, valid):
     return _split_from_scanned(w, sums, is_last, is_sent)
 
 
+def _sorted_from_lanes(word_lanes, payload):
+    """Sort pre-sentinelized record lanes (Pallas extraction layout) and
+    unpack into the (w, cnt, l4, r4) aggregation format."""
+    W = len(word_lanes)
+    out = jax.lax.sort(tuple(word_lanes) + (payload,), num_keys=W, is_stable=True)
+    w = jnp.stack(out[:W], axis=-1)
+    cnt, left_s, right_s = _unpack_cnt_ext(out[W])
+    return w, cnt, _ext_onehot(left_s, cnt), _ext_onehot(right_s, cnt)
+
+
+@jax.jit
+def aggregate_record_lanes(word_lanes, payload):
+    """aggregate_records for pre-sentinelized (words..., payload) lanes as
+    produced by ops.pallas_extract.extract_record_lanes."""
+    w, cnt, l4, r4 = _sorted_from_lanes(word_lanes, payload)
+    return _dedup_sorted(w, cnt, l4, r4)
+
+
+@jax.jit
+def aggregate_split_lanes(word_lanes, payload):
+    """aggregate_split_records for pre-sentinelized record lanes."""
+    w, cnt, l4, r4 = _sorted_from_lanes(word_lanes, payload)
+    sums, is_last, is_sent = _group_sums_scan(w, cnt, l4, r4)
+    return _split_from_scanned(w, sums, is_last, is_sent)
+
+
 @jax.jit
 def merge_split4(a, b, c, d):
     """Merge four sorted deduped (words, count, l4, r4) sets straight into a
@@ -681,10 +737,18 @@ def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
     plus a stacked (n_multi, n_single) pair so the caller's occupancy fetch
     (needed for the trim slice sizes) is a single transfer.
     """
-    rec = read_kmer_records(codes, qual_ok, lens, k, m)
-    out = aggregate_split_records(
-        rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
-    )
+    if jax.default_backend() == "tpu":
+        from .pallas_extract import extract_record_lanes
+
+        lanes, pay = extract_record_lanes(codes, qual_ok, lens, k)
+        out = aggregate_split_lanes(
+            tuple(x.reshape(-1) for x in lanes), pay.reshape(-1)
+        )
+    else:
+        rec = read_kmer_records(codes, qual_ok, lens, k, m)
+        out = aggregate_split_records(
+            rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
+        )
     return out, jnp.stack([out[4], out[7]])
 
 

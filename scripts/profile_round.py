@@ -14,11 +14,12 @@ import numpy as np
 
 
 def fence(tree):
+    # one batched device_get = ONE tunnel round-trip for all leaves
     import jax
 
-    for x in jax.tree.leaves(tree):
-        if hasattr(x, "ndim"):
-            np.asarray(jax.device_get(x[(0,) * x.ndim]))
+    leaves = [x[(0,) * x.ndim] for x in jax.tree.leaves(tree) if hasattr(x, "ndim")]
+    if leaves:
+        jax.device_get(leaves)
 
 
 def main():
