@@ -218,8 +218,37 @@ class KmerCountStore:
         return self.ctg_runs[0] if self.ctg_runs else None
 
     def finalize(self) -> FinalTable:
-        r = self._merged_reads()
         c = self._merged_ctgs()
+        if self.compact_singles:
+            # fused path: ONE dispatch folds every outstanding split run into
+            # the final table (see ops.count.final_fold_runs) — the unfused
+            # cascade pays two extra full-array compactions, one redundant
+            # bitonic merge, and two occupancy round-trips
+            if self._pending is not None:
+                # trim + append WITHOUT the LSM cascade: the fused fold is
+                # about to merge everything anyway, and a cascade merge here
+                # would cost its own occupancy round-trip + compaction
+                run, ns = self._pending
+                self._pending = None
+                h = np.asarray(jax.device_get(ns))
+                self.runs.append(self._trim(run, int(h[0]), int(h[1])))
+            if self.runs:
+                if c is None:
+                    out = C.final_fold_runs(
+                        tuple(self.runs), dmin_thres=self.dmin_thres, purge=True
+                    )
+                    self.runs = []
+                    return FinalTable(self.k, *out)
+                merged = C.final_fold_runs(
+                    tuple(self.runs), dmin_thres=self.dmin_thres, purge=False
+                )
+                self.runs = []
+                merged = _apply_ctg_rules(*merged, *c, self.dmin_thres)
+                words, cnt, left, right, n = C.finalize_table(
+                    *merged, dmin_thres=self.dmin_thres
+                )
+                return FinalTable(self.k, words, cnt, left, right, n)
+        r = self._merged_reads()
         if c is not None:
             merged = _apply_ctg_rules(*r, *c, self.dmin_thres)
         else:

@@ -558,6 +558,68 @@ def expand_singles(s_words, s_ext, n_single):
     return s_words, cnt, _ext_onehot(left, cnt), _ext_onehot(right, cnt)
 
 
+def _split_emit_pallas(words, p, keep_m, keep_s):
+    """Shared Pallas 3-way split compaction: (words, 5 packed sum lanes,
+    class flags) -> split run. p[0] must already carry the singleton ext code
+    in its upper 16 bits on keep_s rows."""
+    from .pallas_compact import compact_classes
+
+    N, W = words.shape
+    rows = jnp.arange(N, dtype=jnp.int32)
+    p0, p1, p2, p3, p4 = p
+    flags = jnp.where(keep_m, 0, jnp.where(keep_s, 1, 2)).astype(jnp.int32)
+    lanes = tuple(words[:, i] for i in range(W)) + (p0, p1, p2, p3, p4)
+    lanes, flags = _pad_tile_lanes(lanes, flags, 2)
+    # singles only append the key words + the (count|ext) lane
+    (m_out, n_multi), (s_out, n_single) = compact_classes(
+        lanes, flags, 3, emit=(0, 1),
+        emit_lanes=(tuple(range(W + 5)), tuple(range(W + 1))),
+    )
+    n_multi = n_multi.astype(jnp.int32)
+    n_single = n_single.astype(jnp.int32)
+    m_live = rows < n_multi
+    m_words = jnp.where(
+        m_live[:, None], jnp.stack([x[:N] for x in m_out[:W]], axis=-1),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    m_count, m_l4, m_r4 = _unpack_sums(
+        jnp.where(m_live, m_out[W][:N] & U32(0xFFFF), 0),
+        *(jnp.where(m_live, x[:N], 0) for x in m_out[W + 1 :]),
+    )
+    s_live = rows < n_single
+    s_words = jnp.where(
+        s_live[:, None], jnp.stack([x[:N] for x in s_out[:W]], axis=-1),
+        jnp.uint32(0xFFFFFFFF),
+    )
+    s_ext = jnp.where(
+        s_live, (s_out[W][:N] >> U32(16)).astype(jnp.uint8), jnp.uint8(0)
+    )
+    return m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single
+
+
+def _split_from_packed_sums(words, p, is_last, is_sent):
+    """_split_from_scanned taking the 5 PRE-PACKED group-sum lanes (as
+    emitted by pallas_scan.group_sums_scan_packed) — no (N, 9) i32
+    materialization. Pallas path only (callers gate on _pallas_compact_ok)."""
+    p0, p1, p2, p3, p4 = p
+    cnt = (p0 & U32(0xFFFF)).astype(jnp.int32)
+    keep_m = is_last & ~is_sent & (cnt >= 2)
+    keep_s = is_last & ~is_sent & (cnt == 1)
+    lo = lambda x: (x & U32(0xFFFF)).astype(jnp.int32)
+    hi = lambda x: (x >> U32(16)).astype(jnp.int32)
+
+    def _code(a, b):
+        # singleton rows have 0/1 ext fields; exactly-one-set -> its code
+        f0, f1, f2, f3 = lo(a), hi(a), lo(b), hi(b)
+        has = (f0 + f1 + f2 + f3) == 1
+        code = (f1 + 2 * f2 + 3 * f3).astype(jnp.uint8)
+        return jnp.where(keep_s & has, code, jnp.uint8(EXT_NONE))
+
+    ext = _code(p1, p2) | (_code(p3, p4) << jnp.uint8(4))
+    p0 = p0 | jnp.where(keep_s, ext.astype(U32) << U32(16), U32(0))
+    return _split_emit_pallas(words, (p0, p1, p2, p3, p4), keep_m, keep_s)
+
+
 def _split_from_scanned(words, sums, is_last, is_sent):
     """Compact scanned lexsorted rows straight into a split run.
 
@@ -585,36 +647,7 @@ def _split_from_scanned(words, sums, is_last, is_sent):
     rows = jnp.arange(N, dtype=jnp.int32)
 
     if _pallas_compact_ok(N):
-        from .pallas_compact import compact_classes
-
-        flags = jnp.where(keep_m, 0, jnp.where(keep_s, 1, 2)).astype(jnp.int32)
-        lanes = tuple(words[:, i] for i in range(W)) + (p0, p1, p2, p3, p4)
-        lanes, flags = _pad_tile_lanes(lanes, flags, 2)
-        # singles only append the key words + the (count|ext) lane
-        (m_out, n_multi), (s_out, n_single) = compact_classes(
-            lanes, flags, 3, emit=(0, 1),
-            emit_lanes=(tuple(range(W + 5)), tuple(range(W + 1))),
-        )
-        n_multi = n_multi.astype(jnp.int32)
-        n_single = n_single.astype(jnp.int32)
-        m_live = rows < n_multi
-        m_words = jnp.where(
-            m_live[:, None], jnp.stack([x[:N] for x in m_out[:W]], axis=-1),
-            jnp.uint32(0xFFFFFFFF),
-        )
-        m_count, m_l4, m_r4 = _unpack_sums(
-            jnp.where(m_live, m_out[W][:N] & U32(0xFFFF), 0),
-            *(jnp.where(m_live, x[:N], 0) for x in m_out[W + 1 :]),
-        )
-        s_live = rows < n_single
-        s_words = jnp.where(
-            s_live[:, None], jnp.stack([x[:N] for x in s_out[:W]], axis=-1),
-            jnp.uint32(0xFFFFFFFF),
-        )
-        s_ext = jnp.where(
-            s_live, (s_out[W][:N] >> U32(16)).astype(jnp.uint8), jnp.uint8(0)
-        )
-        return m_words, m_count, m_l4, m_r4, n_multi, s_words, s_ext, n_single
+        return _split_emit_pallas(words, (p0, p1, p2, p3, p4), keep_m, keep_s)
 
     dead = ~(keep_m | keep_s)
     w = jnp.where(dead[:, None], jnp.uint32(0xFFFFFFFF), words)
@@ -688,6 +721,109 @@ def aggregate_split_lanes(word_lanes, payload):
     return _split_from_scanned(w, sums, is_last, is_sent)
 
 
+def payload_fits_in_keys(k: int, W: int) -> bool:
+    """True when the 7-bit read-record payload (valid + two 3-bit ext codes)
+    fits the free low bits of the last NON-ZERO key lane (32*ceil(2k/32) - 2k
+    >= 7): k=21/33/55/99 qualify; k=63/77 fall back to the separate-payload
+    lane."""
+    weff = -(-2 * k // 32)
+    return weff <= W and 32 * weff - 2 * k >= 7
+
+
+@partial(jax.jit, static_argnames=("k",))
+def aggregate_split_lanes_packed(word_lanes, payload, k: int):
+    """aggregate_split_lanes with the payload FOLDED into the key words.
+
+    A read-pass record's payload is 7 effective bits (count==1 valid flag +
+    two 3-bit extension codes). The key layout is u32 PAIRS mirroring the
+    reference's big-endian u64[N_LONGS] packing (bitkmer.py), so (a) any
+    trailing u32 lanes past ceil(2k/32) are ALWAYS zero on valid rows and
+    need not ride the sort at all, and (b) the last non-zero lane has
+    32*ceil(2k/32) - 2k free low bits where the payload rides. The initial
+    record sort (the block pipeline's single most expensive op) then runs
+    over ceil(2k/32) lanes instead of W + 1 (3 -> 2 at k=21, 5 -> 3 at k=33).
+    Payload bits sit BELOW every key bit, so lexicographic order on the
+    packed lanes refines key order (ties broken by payload — harmless:
+    consumers segment-reduce within equal keys). Sentinel rows keep the
+    all-ones convention in every sorted lane; a valid canonical k-mer can
+    never be all-ones in every key bit (it would be poly-T, whose canonical
+    form is poly-A), so sentinel detection stays unambiguous. Dropped zero
+    lanes are reconstructed after the sort (0 on live rows, all-ones on
+    sentinels), keeping the output format identical to the unpacked path.
+    """
+    W = len(word_lanes)
+    weff = -(-2 * k // 32)
+    free = 32 * weff - 2 * k
+    assert weff <= W and free >= 7, (k, W)
+    lowmask = U32((1 << free) - 1)
+    last = word_lanes[weff - 1]
+    pay7 = (
+        (payload & U32(1))
+        | (((payload >> U32(16)) & U32(7)) << U32(1))
+        | (((payload >> U32(24)) & U32(7)) << U32(4))
+    )
+    # top-bits AND via subtraction (XLA:TPU miscompile, see revcomp_words)
+    packed = jnp.where(
+        payload == 0, U32(0xFFFFFFFF), (last - (last & lowmask)) | pay7
+    )
+    return aggregate_split_packed(
+        tuple(word_lanes[: weff - 1]) + (packed,), k, W
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "W"))
+def aggregate_split_packed(packed_lanes, k: int, W: int):
+    """aggregate_split_lanes_packed core for ALREADY-packed lanes (as emitted
+    by ops.pallas_extract.extract_packed_lanes): ceil(2k/32) uint32 lanes,
+    payload in the last lane's free low bits, sentinels all-ones. W is the
+    full output key-lane count (u32-pair format)."""
+    weff = len(packed_lanes)
+    free = 32 * weff - 2 * k
+    assert weff == -(-2 * k // 32) and free >= 7 and weff <= W, (k, W, weff)
+    keymask_int = 0xFFFFFFFF ^ ((1 << free) - 1)
+    keymask = U32(keymask_int)
+    lowmask = U32((1 << free) - 1)
+    out = jax.lax.sort(packed_lanes, num_keys=weff, is_stable=False)
+    slast = out[-1]
+    # top-bits AND via subtraction of the low bits: XLA:TPU miscompiles the
+    # direct form at production shapes (see bitkmer.revcomp_words note)
+    skey = slast - (slast & lowmask)
+    sent = skey == keymask
+    for x in out[:-1]:
+        sent = sent & (x == U32(0xFFFFFFFF))
+    clean_last = jnp.where(sent, U32(0xFFFFFFFF), skey)
+    zero_lane = jnp.where(sent, U32(0xFFFFFFFF), U32(0))
+    w = jnp.stack(
+        tuple(out[:-1]) + (clean_last,) + (zero_lane,) * (W - weff), axis=-1
+    )
+    if _pallas_compact_ok(w.shape[0]):
+        # fused packed scan: payload one-hots and group starts derived
+        # IN-KERNEL from the packed sorted lanes, sums emitted pre-packed —
+        # (weff in + 5 out) lanes of HBM traffic instead of (10 in + 9 out)
+        from .pallas_scan import TILE as SCAN_TILE, group_sums_scan_packed
+
+        N = w.shape[0]
+        pad = -(-N // SCAN_TILE) * SCAN_TILE - N
+        lanes_p = tuple(out)
+        if pad:
+            lanes_p = tuple(
+                jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, U32)])
+                for x in lanes_p
+            )
+        p = group_sums_scan_packed(lanes_p, keymask_int, MAX_KMER_COUNT)
+        p = tuple(x[:N] for x in p)
+        neq = jnp.any(w[1:] != w[:-1], axis=-1)
+        is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+        return _split_from_packed_sums(w, p, is_last, sent)
+    cnt = jnp.where(sent, 0, 1).astype(jnp.int32)
+    left = ((slast >> U32(1)) & U32(7)).astype(jnp.uint8)
+    right = ((slast >> U32(4)) & U32(7)).astype(jnp.uint8)
+    l4 = _ext_onehot(left, cnt)
+    r4 = _ext_onehot(right, cnt)
+    sums, is_last, is_sent = _group_sums_scan(w, cnt, l4, r4)
+    return _split_from_scanned(w, sums, is_last, is_sent)
+
+
 @jax.jit
 def merge_split4(a, b, c, d):
     """Merge four sorted deduped (words, count, l4, r4) sets straight into a
@@ -738,18 +874,79 @@ def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
     (needed for the trim slice sizes) is a single transfer.
     """
     if jax.default_backend() == "tpu":
-        from .pallas_extract import extract_record_lanes
+        from ..constants import words32_for_k
+        from .pallas_extract import extract_packed_lanes, extract_record_lanes
 
-        lanes, pay = extract_record_lanes(codes, qual_ok, lens, k)
-        out = aggregate_split_lanes(
-            tuple(x.reshape(-1) for x in lanes), pay.reshape(-1)
-        )
+        W = words32_for_k(k)
+        if payload_fits_in_keys(k, W):
+            lanes = extract_packed_lanes(codes, qual_ok, lens, k)
+            out = aggregate_split_packed(
+                tuple(x.reshape(-1) for x in lanes), k, W
+            )
+        else:
+            lanes, pay = extract_record_lanes(codes, qual_ok, lens, k)
+            out = aggregate_split_lanes(
+                tuple(x.reshape(-1) for x in lanes), pay.reshape(-1)
+            )
     else:
         rec = read_kmer_records(codes, qual_ok, lens, k, m)
         out = aggregate_split_records(
             rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
         )
     return out, jnp.stack([out[4], out[7]])
+
+
+@partial(jax.jit, static_argnames=("dmin_thres", "purge"))
+def final_fold_runs(runs, dmin_thres: int = 2, purge: bool = True):
+    """Fold ALL outstanding split runs straight into the final table.
+
+    One dispatch replacing the finalize cascade (LSM tail merges ->
+    split-compact -> re-merge of the just-split parts -> dedup-compact ->
+    finalize_table compact): the split runs are expanded once, pairwise
+    bitonic-merged as a balanced tree WITHOUT intermediate dedups (merging
+    never grows the row total, and the final segmented scan handles any key
+    multiplicity in one pass), then a single group-sums scan feeds the
+    extension calls and ONE compaction emits the final table. Eliminates two
+    full-array compaction passes, one redundant bitonic merge, and the
+    per-merge occupancy round-trips of the unfused path (each a ~34 ms
+    tunnel RTT).
+
+    runs: tuple of 8-tuple split runs (m_words, m_count, m_l4, m_r4, n_m,
+    s_words, s_ext, n_s), each part lexsorted. With purge=True returns the
+    FinalTable arrays (words, count, left, right, n_kept) applying the
+    reference purge rules (kcount_cpu.cpp:497-517); with purge=False returns
+    the unique aggregate (words, count i32, l4, r4, n_unique) for the
+    ctg-rules path (counts still u16-clamped by the scan, matching
+    _dedup_sorted semantics).
+    """
+    leaves = []
+    for r in runs:
+        leaves.append(r[:4])
+        leaves.append(expand_singles(r[5], r[6], r[7]))
+    while len(leaves) > 1:
+        nxt = [
+            _merge_sorted_sets(leaves[i], leaves[i + 1])
+            for i in range(0, len(leaves) - 1, 2)
+        ]
+        if len(leaves) % 2:
+            nxt.append(leaves[-1])
+        leaves = nxt
+    w, cnt, l4, r4 = leaves[0]
+    sums, is_last, is_sent = _group_sums_scan(w, cnt, l4, r4)
+    count = sums[:, 0]
+    if not purge:
+        keep = is_last & ~is_sent
+        packed = _pack_sums(count, sums[:, 1:5], sums[:, 5:9])
+        u_words, *pays, n_unique = _compact_keep(w, keep, packed)
+        u_count, u_l4, u_r4 = _unpack_sums(*pays)
+        return u_words, u_count, u_l4, u_r4, n_unique
+    left = _get_ext_calls(sums[:, 1:5], count, dmin_thres)
+    right = _get_ext_calls(sums[:, 5:9], count, dmin_thres)
+    keep = is_last & ~is_sent & (count >= 2) & ~((left == EXT_X) & (right == EXT_X))
+    packed = _pack_cnt_ext(count, left, right)
+    w_s, pay, n_kept = _compact_keep(w, keep, (packed,))
+    cnt_s, left_s, right_s = _unpack_cnt_ext(pay)
+    return (w_s, cnt_s, left_s, right_s, n_kept)
 
 
 @partial(jax.jit, static_argnames=("dmin_thres",))

@@ -44,21 +44,42 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     T = table_words.shape[0]
     Q = query_words.shape[0]
     words = jnp.concatenate([table_words, query_words])
-    # one packed u32 lane carries (is_query << 31 | source row) through the
-    # sort network — no post-sort gathers (the TPU anti-pattern)
-    src = jnp.concatenate(
-        [jnp.arange(T, dtype=jnp.uint32), jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 31)]
-    )
     W = words.shape[1]
-    lanes = (src,)
-    if payload is not None:
-        lanes = lanes + (jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)]),)
+    # fuse (source row | is_query | payload) into ONE u32 lane when the bits
+    # fit (row < 2^25 covers 33M-row tables/query sets; payloads are <= 6
+    # bits on the de Bruijn edge path): one lane fewer through the join sort
+    # is a ~25% traffic cut on its dominant op
+    fused = payload is not None and payload_bits + 26 <= 32 and max(T, Q) < (1 << 25)
+    if fused:
+        src = jnp.concatenate(
+            [
+                jnp.arange(T, dtype=jnp.uint32),
+                jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 25),
+            ]
+        ) | (
+            jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)])
+            << jnp.uint32(26)
+        )
+        lanes = (src,)
+    else:
+        src = jnp.concatenate(
+            [jnp.arange(T, dtype=jnp.uint32), jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 31)]
+        )
+        lanes = (src,)
+        if payload is not None:
+            lanes = lanes + (jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)]),)
     out = jax.lax.sort(
         tuple(words[:, w] for w in range(W)) + lanes, num_keys=W, is_stable=True
     )
     sw = jnp.stack(out[:W], axis=-1)
-    sq = (out[W] >> jnp.uint32(31)).astype(bool)
-    ssrc = (out[W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    if fused:
+        sq = ((out[W] >> jnp.uint32(25)) & jnp.uint32(1)).astype(bool)
+        ssrc = (out[W] & jnp.uint32(0x1FFFFFF)).astype(jnp.int32)
+        pay_lane = out[W] >> jnp.uint32(26)
+    else:
+        sq = (out[W] >> jnp.uint32(31)).astype(bool)
+        ssrc = (out[W] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        pay_lane = out[W + 1] if payload is not None else None
     is_t = ~sq & (ssrc < jnp.asarray(n_valid, jnp.int32))  # valid table rows
     narrow = payload is not None and (T + 1) * (1 << payload_bits) <= (1 << 32)
     if payload is None:
@@ -66,12 +87,12 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     elif narrow:
         # (idx+1) << bits | payload in one u32; 0 = not found. maximum
         # propagates both (idx is unique per key: payload never decides)
-        combo = ((ssrc + 1).astype(jnp.uint32) << jnp.uint32(payload_bits)) | out[W + 1]
+        combo = ((ssrc + 1).astype(jnp.uint32) << jnp.uint32(payload_bits)) | pay_lane
         prop = jnp.where(is_t, combo, jnp.uint32(0))
     else:
         # idx and payload fused in one i64 lane so ONE maximum propagates
         # both (idx is unique per key, so the payload never decides)
-        combo = (ssrc.astype(jnp.int64) << jnp.int64(32)) | out[W + 1].astype(jnp.int64)
+        combo = (ssrc.astype(jnp.int64) << jnp.int64(32)) | pay_lane.astype(jnp.int64)
         prop = jnp.where(is_t, combo, jnp.int64(-1))
     # propagate the (unique) table idx across its equal-key run: sortedness
     # makes key-equality at distance s transitive, so doubling shifts cover

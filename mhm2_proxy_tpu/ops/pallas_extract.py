@@ -55,7 +55,7 @@ def _endmasks(k: int, W: int):
     return masks
 
 
-def _make_kernel(k: int, L: int, interpret: bool):
+def _make_kernel(k: int, L: int, interpret: bool, packed: bool = False):
     W = words32_for_k(k)
     P = L - k + 1
     n_chunks = (k + 15) // 16
@@ -133,6 +133,19 @@ def _make_kernel(k: int, L: int, interpret: bool):
         lens = lens_ref[...]  # (TB, 1)
         valid = (pos >= 1) & (pos <= lens - (k + 1))
 
+        if packed:
+            # packed emission (ops.count.aggregate_split_lanes_packed layout):
+            # the 7-bit payload (valid | left<<1 | right<<4) rides the free
+            # low bits of the last non-zero key lane; always-zero trailing
+            # lanes and the separate payload lane are not written at all
+            weff = -(-2 * k // 32)
+            pay7 = U32(1) | (left_c << U32(1)) | (right_c << U32(4))
+            for w in range(weff - 1):
+                out_refs[w][...] = jnp.where(valid, cw[w], U32(0xFFFFFFFF))
+            out_refs[weff - 1][...] = jnp.where(
+                valid, cw[weff - 1] | pay7, U32(0xFFFFFFFF)
+            )
+            return
         for w in range(W):
             out_refs[w][...] = jnp.where(valid, cw[w], U32(0xFFFFFFFF))
         payload = U32(1) | (left_c << U32(16)) | (right_c << U32(24))
@@ -149,8 +162,24 @@ def extract_record_lanes(codes, qual_ok, lens, k: int, interpret: bool = False):
     invalid rows sentinelized (keys all-ones, payload 0). Read pass only
     (count = 1); the contig pass stays on the jnp path.
     """
+    out = _extract(codes, qual_ok, lens, k, interpret, False)
+    return out[:-1], out[-1]
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def extract_packed_lanes(codes, qual_ok, lens, k: int, interpret: bool = False):
+    """extract_record_lanes in the PACKED layout: ceil(2k/32) uint32 lanes
+    with the 7-bit payload (valid | left<<1 | right<<4) in the last lane's
+    free low bits (requires ops.count.payload_fits_in_keys). Sentinel rows
+    are all-ones in every emitted lane. Saves the payload-lane write, any
+    always-zero trailing key lanes, and the caller-side repack."""
+    return _extract(codes, qual_ok, lens, k, interpret, True)
+
+
+def _extract(codes, qual_ok, lens, k: int, interpret: bool, packed: bool):
     B, L = codes.shape
-    kernel, W, P, Lp = _make_kernel(k, L, interpret)
+    kernel, W, P, Lp = _make_kernel(k, L, interpret, packed)
+    n_out = (-(-2 * k // 32)) if packed else (W + 1)
     codes_p = jnp.pad(codes, ((0, 0), (0, Lp - L)), constant_values=4)
     qual_p = jnp.pad(qual_ok.astype(jnp.uint8), ((0, 0), (0, Lp - L)))
     TB = 256
@@ -167,7 +196,7 @@ def extract_record_lanes(codes, qual_ok, lens, k: int, interpret: bool = False):
             kernel,
             grid=(Bp // TB,),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((Bp, P), U32) for _ in range(W + 1)
+                jax.ShapeDtypeStruct((Bp, P), U32) for _ in range(n_out)
             ),
             in_specs=[
                 pl.BlockSpec((TB, Lp), lambda i: (i, 0), memory_space=ms),
@@ -176,8 +205,8 @@ def extract_record_lanes(codes, qual_ok, lens, k: int, interpret: bool = False):
             ],
             out_specs=tuple(
                 pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=ms)
-                for _ in range(W + 1)
+                for _ in range(n_out)
             ),
             interpret=interpret,
         )(codes_p, qual_p, lens2)
-    return tuple(x[:B] for x in out[:W]), out[W][:B]
+    return tuple(x[:B] for x in out)

@@ -91,6 +91,138 @@ def _scan_kernel(n_pay: int, tr: int, clamp: int, interpret: bool):
     return kernel
 
 
+def _elem_prev(x, roll, tr, first):
+    """Previous element in row-major order; element (0,0) gets `first`
+    (an (1,1)-broadcastable scalar)."""
+    lane = jax.lax.broadcasted_iota(I32, (tr, 128), 1)
+    row = jax.lax.broadcasted_iota(I32, (tr, 128), 0)
+    xr = roll(x, 1, axis=1)
+    prev = jnp.where(lane == 0, roll(xr, 1, axis=0), xr)
+    return jnp.where((lane == 0) & (row == 0), first, prev)
+
+
+def _packed_scan_kernel(weff: int, keymask: int, tr: int, clamp: int,
+                        interpret: bool):
+    """Read-pass group-sum scan over PACKED sorted record lanes.
+
+    Inputs are the weff sorted key lanes with the 7-bit record payload
+    (valid | left<<1 | right<<4) embedded in the last lane's free low bits
+    (ops.count.aggregate_split_lanes_packed layout). The 9 logical payload
+    lanes (count + 4 left + 4 right one-hots, all 0/1 on the read pass) and
+    the group-start flags are derived IN-KERNEL from the key lanes, and the
+    group sums are written as the 5 packed u32 lanes of ops.count._pack_sums
+    — HBM traffic drops from (10 in + 9 out) to (weff in + 5 out) i32 lanes
+    per element (76 -> 28 bytes at k=21).
+    """
+    roll = jnp.roll if interpret else pltpu.roll
+
+    def kernel(*refs):
+        KM = jnp.uint32(keymask)
+        # x & KM via x - (x & ~KM): Mosaic miscompiles the top-bits AND when
+        # fused with cross-vreg ops (drops the lowest kept bit on some lanes
+        # — observed here as per-element group splits on keys whose low bit
+        # is 1; same bug as ops/pallas_extract.py::endmask). ~KM is a
+        # positive low-bits splat and compiles correctly.
+        INV = jnp.uint32((~keymask) & 0xFFFFFFFF)
+        ONES = jnp.uint32(0xFFFFFFFF)
+        ins = refs[:weff]
+        outs = refs[weff : weff + 5]
+        carry = refs[-1]  # SMEM (18 + weff,): sums, maxes, prev-key words
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            for i in range(18):
+                carry[i] = 0
+            for wname in range(weff):
+                # all-ones differs from every valid key -> first row starts
+                carry[18 + wname] = -1
+
+        lanes = [r[:] for r in ins]
+        keyw = lanes[:-1] + [lanes[-1] - (lanes[-1] & INV)]
+        # sentinel rows are all-ones in every KEY bit
+        sent = None
+        for i in range(weff):
+            m = (ONES & KM) if i == weff - 1 else ONES
+            eq = keyw[i] == m
+            sent = eq if sent is None else (sent & eq)
+        valid = ~sent
+        pay = lanes[-1]
+        left = (pay >> jnp.uint32(1)) & jnp.uint32(7)
+        right = (pay >> jnp.uint32(4)) & jnp.uint32(7)
+
+        # group start: any key word differs from the previous element's
+        is_start = jnp.zeros(keyw[0].shape, bool)
+        for i in range(weff):
+            prev = _elem_prev(
+                keyw[i].astype(I32), roll, tr,
+                carry[18 + i],
+            ).astype(jnp.uint32)
+            is_start = is_start | (keyw[i] != prev)
+
+        pays = [valid.astype(I32)]
+        for j in range(4):
+            pays.append(((left == j) & valid).astype(I32))
+        for j in range(4):
+            pays.append(((right == j) & valid).astype(I32))
+
+        sums = []
+        for i in range(9):
+            c_sum = carry[i]
+            c_max = carry[9 + i]
+            incl_local, _ = _inclusive_scans(pays[i], jnp.zeros_like(pays[i]), roll, tr)
+            incl = incl_local + c_sum
+            excl = incl - pays[i]
+            b = jnp.where(is_start, excl, 0)
+            _, m_local = _inclusive_scans(jnp.zeros_like(pays[i]), b, roll, tr)
+            m = jnp.maximum(m_local, c_max)
+            sums.append(jnp.minimum(incl - m, clamp).astype(jnp.uint32))
+            carry[i] = incl[tr - 1, 127]
+            carry[9 + i] = m[tr - 1, 127]
+        for i in range(weff):
+            carry[18 + i] = keyw[i][tr - 1, 127].astype(I32)
+
+        outs[0][:] = sums[0]
+        outs[1][:] = sums[1] | (sums[2] << jnp.uint32(16))
+        outs[2][:] = sums[3] | (sums[4] << jnp.uint32(16))
+        outs[3][:] = sums[5] | (sums[6] << jnp.uint32(16))
+        outs[4][:] = sums[7] | (sums[8] << jnp.uint32(16))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("keymask", "clamp", "interpret"))
+def group_sums_scan_packed(sorted_lanes, keymask: int, clamp: int,
+                           interpret: bool = False):
+    """Fused read-pass scan over packed sorted record lanes.
+
+    sorted_lanes: weff (N,) uint32 lanes, lexsorted, payload embedded in the
+    last lane's low bits (below keymask). N must be a multiple of TILE
+    (callers pad with all-ones sentinel rows). Returns the 5 packed
+    group-sum lanes of ops.count._pack_sums, valid at group-last rows.
+    """
+    N = sorted_lanes[0].shape[0]
+    T = N // TILE
+    weff = len(sorted_lanes)
+    U = jnp.uint32
+    spec = pl.BlockSpec((_TR, 128), lambda t: (t, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    vals = tuple(v.reshape(N // 128, 128) for v in sorted_lanes)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _packed_scan_kernel(weff, keymask, _TR, clamp, interpret),
+            grid=(T,),
+            in_specs=[spec] * weff,
+            out_specs=tuple(spec for _ in range(5)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((N // 128, 128), U) for _ in range(5)
+            ),
+            scratch_shapes=[pltpu.SMEM((18 + weff,), I32)],
+            interpret=interpret,
+        )(*vals)
+    return tuple(v.reshape(N) for v in out)
+
+
 @partial(jax.jit, static_argnames=("clamp", "interpret"))
 def group_sums_scan_lanes(pay_lanes, is_start, clamp: int, interpret: bool = False):
     """Fused segmented group-sum scan over (N,) int32 payload lanes.

@@ -78,6 +78,65 @@ def main():
         f"count-mass conserved: {mass} (multi) + {n_single} (single) == "
         f"{n_valid} valid records"
     )
+
+    # packed-emission kernel vs the general kernel, on-chip, production shape
+    from mhm2_proxy_tpu.ops.pallas_extract import extract_packed_lanes
+    from mhm2_proxy_tpu.constants import words32_for_k
+
+    for kk in (21, 33, 55, 99):
+        W = words32_for_k(kk)
+        assert C.payload_fits_in_keys(kk, W)
+        weff = -(-2 * kk // 32)
+        free = 32 * weff - 2 * kk
+        lanes_g, pay_g = extract_record_lanes(cb, qb, lb, kk)
+        lanes_p = extract_packed_lanes(cb, qb, lb, kk)
+        assert len(lanes_p) == weff
+        pay7 = (
+            (pay_g & 1)
+            | (((pay_g >> 16) & 7) << 1)
+            | (((pay_g >> 24) & 7) << 4)
+        ).astype(jnp.uint32)
+        km = np.uint32(0xFFFFFFFF ^ ((1 << free) - 1))
+        exp_last = jnp.where(
+            pay_g == 0, jnp.uint32(0xFFFFFFFF), (lanes_g[weff - 1] & km) | pay7
+        )
+        for i in range(weff - 1):
+            np.testing.assert_array_equal(np.asarray(lanes_p[i]), np.asarray(lanes_g[i]))
+        np.testing.assert_array_equal(np.asarray(lanes_p[-1]), np.asarray(exp_last))
+        print(f"packed-emission k={kk}: bit-exact on-chip")
+
+    # packed aggregation (fused scan kernel) vs the unpacked path, on-chip
+    W = words32_for_k(k)
+    flat_g = tuple(x.reshape(-1) for x in lanes_big)
+    ref_split = jax.tree.map(np.asarray, C.aggregate_split_lanes(flat_g, pay_big.reshape(-1)))
+    got_split = jax.tree.map(
+        np.asarray,
+        C.aggregate_split_packed(
+            tuple(x.reshape(-1) for x in extract_packed_lanes(cb, qb, lb, k)), k, W
+        ),
+    )
+    n_m, n_s = int(ref_split[4]), int(ref_split[7])
+    assert (int(got_split[4]), int(got_split[7])) == (n_m, n_s), (
+        n_m, n_s, int(got_split[4]), int(got_split[7]))
+    for a, b in zip(ref_split[:4], got_split[:4]):
+        np.testing.assert_array_equal(a[:n_m], b[:n_m])
+    for a, b in zip(ref_split[5:7], got_split[5:7]):
+        np.testing.assert_array_equal(a[:n_s], b[:n_s])
+    print(f"packed aggregation (B={B}): equals unpacked path on-chip "
+          f"({n_m} multi + {n_s} single)")
+
+    # fused final fold vs the unfused cascade, on-chip
+    run2, _ = C.block_to_split_run(cb[: B // 2], qb[: B // 2], lb[: B // 2], k, m)
+    fused = jax.tree.map(np.asarray, C.final_fold_runs((run, run2), dmin_thres=2, purge=True))
+    m1 = C.merge_aggregates(*run[:4], *C.expand_singles(run[5], run[6], run[7]))
+    m2 = C.merge_aggregates(*run2[:4], *C.expand_singles(run2[5], run2[6], run2[7]))
+    mm = C.merge_aggregates(*m1[:4], *m2[:4])
+    unf = jax.tree.map(np.asarray, C.finalize_table(*mm, dmin_thres=2))
+    nk = int(fused[4])
+    assert nk == int(unf[4]), (nk, int(unf[4]))
+    for a, b in zip(unf[:4], fused[:4]):
+        np.testing.assert_array_equal(a[:nk], b[:nk])
+    print(f"final_fold_runs: equals unfused cascade on-chip ({nk} kmers)")
     print("OK")
 
 

@@ -76,3 +76,71 @@ def test_extract_feeds_aggregate_identically():
     assert int(got[4]) == n
     for a, b in zip(ref[:4], got[:4]):
         np.testing.assert_array_equal(np.asarray(a)[:n], np.asarray(b)[:n])
+
+
+@pytest.mark.parametrize("k", [21, 33, 55, 99])
+def test_packed_key_split_matches_unpacked(k):
+    """aggregate_split_lanes_packed (payload folded into free key bits) must
+    equal the separate-payload-lane path exactly on both split parts."""
+    m = minimizer_len_for_k(k)
+    rng = np.random.default_rng(100 + k)
+    B, L = 48, 160
+    genome = rng.integers(0, 4, 6000, dtype=np.uint8)
+    starts = rng.integers(0, len(genome) - L, B)
+    codes = np.stack([genome[s : s + L] for s in starts])
+    nmask = rng.random((B, L)) < 0.01
+    codes[nmask] = 4
+    qual_ok = rng.random((B, L)) > 0.05
+    lens = rng.integers(k, L + 1, B).astype(np.int32)
+
+    lanes, pay = extract_record_lanes(
+        jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), k, interpret=True
+    )
+    flat = tuple(x.reshape(-1) for x in lanes)
+    assert C.payload_fits_in_keys(k, len(flat))
+    ref = C.aggregate_split_lanes(flat, pay.reshape(-1))
+    got = C.aggregate_split_lanes_packed(flat, pay.reshape(-1), k)
+
+    n_m, n_s = int(ref[4]), int(ref[7])
+    assert (int(got[4]), int(got[7])) == (n_m, n_s)
+    for a, b in zip(ref[:4], got[:4]):  # multi part
+        np.testing.assert_array_equal(np.asarray(a)[:n_m], np.asarray(b)[:n_m])
+    for a, b in zip(ref[5:7], got[5:7]):  # singleton part
+        np.testing.assert_array_equal(np.asarray(a)[:n_s], np.asarray(b)[:n_s])
+
+
+@pytest.mark.parametrize("k", [21, 33, 55, 99])
+def test_extract_packed_lanes_end_to_end(k):
+    """Kernel-side packed emission -> aggregate_split_packed == unpacked."""
+    from mhm2_proxy_tpu.ops.pallas_extract import extract_packed_lanes
+
+    rng = np.random.default_rng(200 + k)
+    B, L = 48, 160
+    genome = rng.integers(0, 4, 6000, dtype=np.uint8)
+    starts = rng.integers(0, len(genome) - L, B)
+    codes = np.stack([genome[s : s + L] for s in starts])
+    codes[rng.random((B, L)) < 0.01] = 4
+    qual_ok = rng.random((B, L)) > 0.05
+    lens = rng.integers(k, L + 1, B).astype(np.int32)
+    W = words32_for_k(k)
+    assert C.payload_fits_in_keys(k, W)
+
+    lanes, pay = extract_record_lanes(
+        jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), k, interpret=True
+    )
+    ref = C.aggregate_split_lanes(
+        tuple(x.reshape(-1) for x in lanes), pay.reshape(-1)
+    )
+
+    plane = extract_packed_lanes(
+        jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), k, interpret=True
+    )
+    assert len(plane) == -(-2 * k // 32)
+    got = C.aggregate_split_packed(tuple(x.reshape(-1) for x in plane), k, W)
+
+    n_m, n_s = int(ref[4]), int(ref[7])
+    assert (int(got[4]), int(got[7])) == (n_m, n_s)
+    for a, b in zip(ref[:4], got[:4]):
+        np.testing.assert_array_equal(np.asarray(a)[:n_m], np.asarray(b)[:n_m])
+    for a, b in zip(ref[5:7], got[5:7]):
+        np.testing.assert_array_equal(np.asarray(a)[:n_s], np.asarray(b)[:n_s])
