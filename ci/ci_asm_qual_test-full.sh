@@ -5,7 +5,8 @@
 set -e
 cd "$(dirname "$0")/.."
 
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+# force CPU (the environment presets JAX_PLATFORMS=axon — see ci_asm_qual_test.sh)
+export JAX_PLATFORMS=${MHM2_CI_PLATFORM:-cpu}
 
 python ci/make_sample.py --out-dir ci/data --coassembly
 rm -rf ci/run_full

@@ -12,7 +12,11 @@
 set -e
 cd "$(dirname "$0")/.."
 
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+# force CPU: the gate validates numerics/metrics, not device perf, and this
+# environment PRESETS JAX_PLATFORMS=axon (a remote TPU tunnel) — inheriting
+# it silently runs the whole gate over the tunnel and wedges on contention.
+# Override consciously with MHM2_CI_PLATFORM if a device run is intended.
+export JAX_PLATFORMS=${MHM2_CI_PLATFORM:-cpu}
 
 python ci/make_sample.py --out-dir ci/data
 rm -rf ci/run ci/run_sharded
