@@ -31,6 +31,45 @@ _OOM_MARKERS = (
 )
 
 
+def detect_scheduler_env(env=None) -> dict | None:
+    """Fill multi-process rendezvous vars from scheduler env.
+
+    The reference launcher detects SLURM/LSF/PBS/Cobalt and derives process
+    counts from them (mhm2.py:107-250). Here the analogous job is mapping the
+    scheduler's rank/size vars onto the MHM2_TPU_{NUM_PROCS,PROC_ID,
+    COORDINATOR} rendezvous trio that main.py feeds to jax.distributed.
+    Returns the derived vars (explicit MHM2_TPU_* always wins), or None when
+    no scheduler context (or a 1-task job) is present.
+    """
+    env = os.environ if env is None else env
+    if env.get("MHM2_TPU_NUM_PROCS"):
+        return None  # explicit config wins
+    rank = size = None
+    coord_host = None
+    if env.get("SLURM_PROCID") is not None and env.get("SLURM_NTASKS"):
+        rank, size = int(env["SLURM_PROCID"]), int(env["SLURM_NTASKS"])
+        coord_host = env.get("SLURM_LAUNCH_NODE_IPADDR")
+    elif env.get("OMPI_COMM_WORLD_RANK") is not None and env.get("OMPI_COMM_WORLD_SIZE"):
+        rank, size = int(env["OMPI_COMM_WORLD_RANK"]), int(env["OMPI_COMM_WORLD_SIZE"])
+    elif env.get("PMI_RANK") is not None and env.get("PMI_SIZE"):
+        # PMI covers PBS/Cobalt MPI launches and Cray aprun
+        rank, size = int(env["PMI_RANK"]), int(env["PMI_SIZE"])
+    elif env.get("LSF_PM_TASKID") is not None and env.get("LSF_PM_NUMPROCS"):
+        # LSF task geometry is 1-based
+        rank, size = int(env["LSF_PM_TASKID"]) - 1, int(env["LSF_PM_NUMPROCS"])
+    if rank is None or size is None or size < 2:
+        return None
+    coord = env.get("MHM2_TPU_COORDINATOR")
+    if not coord:
+        port = env.get("MHM2_TPU_PORT", "8476")
+        coord = f"{coord_host}:{port}" if coord_host else f"127.0.0.1:{port}"
+    return {
+        "MHM2_TPU_NUM_PROCS": str(size),
+        "MHM2_TPU_PROC_ID": str(rank),
+        "MHM2_TPU_COORDINATOR": coord,
+    }
+
+
 def classify_failure(output: str, returncode: int) -> str:
     """Human-readable crash class (reference stderr classification)."""
     if returncode is not None and returncode < 0:

@@ -43,6 +43,7 @@ def run_pipeline(opts: Options) -> Assembler:
         dmin_thres=opts.min_depth_thres,
         min_ctg_print_len=opts.min_ctg_print_len,
         block_reads=opts.block_reads,
+        bucket_cap=opts.bucket_cap or None,
         checkpoint=opts.checkpoint,
         output_dir=out_dir,
         n_shards=opts.shards,
@@ -136,7 +137,13 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # multi-process launch (reference mhm2.py builds the upcxx-run spawn,
     # src/mhm2.py:446-466): coordinates processes over DCN when the launcher
-    # exports the rendezvous env vars
+    # exports the rendezvous env vars; scheduler env (SLURM/MPI/PBS/LSF,
+    # mhm2.py:107-250) fills them when they are absent
+    from .launcher import detect_scheduler_env
+
+    sched = detect_scheduler_env()
+    if sched:
+        os.environ.update(sched)
     nprocs = os.environ.get("MHM2_TPU_NUM_PROCS")
     if nprocs:
         from .parallel import init_multihost

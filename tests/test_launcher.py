@@ -80,3 +80,32 @@ def test_no_resume_when_nothing_completed(tmp_path):
     )
     assert p.returncode != 0
     assert "not resuming" in p.stdout
+
+
+def test_detect_scheduler_env_slurm():
+    from mhm2_proxy_tpu.launcher import detect_scheduler_env
+
+    env = {"SLURM_PROCID": "3", "SLURM_NTASKS": "8",
+           "SLURM_LAUNCH_NODE_IPADDR": "10.0.0.5"}
+    got = detect_scheduler_env(env)
+    assert got == {"MHM2_TPU_NUM_PROCS": "8", "MHM2_TPU_PROC_ID": "3",
+                   "MHM2_TPU_COORDINATOR": "10.0.0.5:8476"}
+    # explicit rendezvous config wins over scheduler detection
+    env["MHM2_TPU_NUM_PROCS"] = "2"
+    assert detect_scheduler_env(env) is None
+    # single-task jobs don't trigger distributed init
+    assert detect_scheduler_env({"SLURM_PROCID": "0", "SLURM_NTASKS": "1"}) is None
+
+
+def test_detect_scheduler_env_mpi_and_lsf():
+    from mhm2_proxy_tpu.launcher import detect_scheduler_env
+
+    got = detect_scheduler_env(
+        {"OMPI_COMM_WORLD_RANK": "1", "OMPI_COMM_WORLD_SIZE": "4",
+         "MHM2_TPU_COORDINATOR": "h0:9999"})
+    assert got["MHM2_TPU_PROC_ID"] == "1"
+    assert got["MHM2_TPU_COORDINATOR"] == "h0:9999"
+    # LSF task ids are 1-based
+    got = detect_scheduler_env({"LSF_PM_TASKID": "2", "LSF_PM_NUMPROCS": "4"})
+    assert got["MHM2_TPU_PROC_ID"] == "1"
+    assert detect_scheduler_env({}) is None
