@@ -17,18 +17,30 @@ from ..ops.bitkmer import ascii_to_codes
 class PackedReads:
     def __init__(self, qual_offset: int = 33):
         self.qual_offset = qual_offset
-        self._blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         self.max_read_len = 0
         self._n_reads = 0
         self._total_bases = 0
 
     def add_block(self, codes: np.ndarray, quals: np.ndarray, lens: np.ndarray,
-                  n_valid: int | None = None):
-        """Adopt a padded (B, L) block; rows with len 0 are placeholders."""
+                  n_valid: int | None = None, ids: np.ndarray | None = None):
+        """Adopt a padded (B, L) block; rows with len 0 are placeholders.
+
+        ids: signed int64 read ids (reference packed_reads.cpp:74-75:
+        magnitude shared by mates, sign - for mate 1 / + for mate 2;
+        merged and unpaired reads carry the mate-1 id). Rows without a
+        caller-assigned id get 0 (anonymous)."""
         if n_valid is not None:
             codes, quals, lens = codes[:n_valid], quals[:n_valid], lens[:n_valid]
+            if ids is not None:
+                ids = ids[:n_valid]
         lens = np.asarray(lens, np.int32)
-        self._blocks.append((np.asarray(codes, np.uint8), np.asarray(quals, np.uint8), lens))
+        if ids is None:
+            ids = np.zeros((len(lens),), np.int64)
+        self._blocks.append(
+            (np.asarray(codes, np.uint8), np.asarray(quals, np.uint8), lens,
+             np.asarray(ids, np.int64))
+        )
         if len(lens):
             self.max_read_len = max(self.max_read_len, int(lens.max()))
         self._n_reads += int((lens > 0).sum())
@@ -55,19 +67,28 @@ class PackedReads:
     def total_bases(self):
         return self._total_bases
 
-    def blocks(self, block_reads: int, pad_len: int | None = None, min_len: int = 0):
+    def blocks(self, block_reads: int, pad_len: int | None = None, min_len: int = 0,
+               with_ids: bool = False):
         """Yield fixed-shape (codes (B,L), quals (B,L), lens (B,)) blocks.
 
         Reads shorter than min_len keep their row but get len 0 (masked out
         downstream), preserving static shapes. The final block is padded.
+        with_ids appends the signed int64 read-id lane.
         """
         L = pad_len or max(self.max_read_len, 1)
-        out_c = np.full((block_reads, L), 4, np.uint8)
-        out_q = np.zeros((block_reads, L), np.uint8)
-        out_l = np.zeros((block_reads,), np.int32)
+
+        def fresh():
+            return (
+                np.full((block_reads, L), 4, np.uint8),
+                np.zeros((block_reads, L), np.uint8),
+                np.zeros((block_reads,), np.int32),
+                np.zeros((block_reads,), np.int64),
+            )
+
+        out_c, out_q, out_l, out_i = fresh()
         cur = 0
         emitted = False
-        for codes, quals, lens in self._blocks:
+        for codes, quals, lens, ids in self._blocks:
             nb, Lb = codes.shape
             Lc = min(Lb, L)
             pos = 0
@@ -77,17 +98,30 @@ class PackedReads:
                 out_q[cur : cur + take, :Lc] = quals[pos : pos + take, :Lc]
                 ls = np.minimum(lens[pos : pos + take], L)
                 out_l[cur : cur + take] = np.where(ls >= max(min_len, 1), ls, 0)
+                out_i[cur : cur + take] = ids[pos : pos + take]
                 cur += take
                 pos += take
                 if cur == block_reads:
-                    yield out_c, out_q, out_l
+                    yield (out_c, out_q, out_l, out_i) if with_ids else (out_c, out_q, out_l)
                     emitted = True
-                    out_c = np.full((block_reads, L), 4, np.uint8)
-                    out_q = np.zeros((block_reads, L), np.uint8)
-                    out_l = np.zeros((block_reads,), np.int32)
+                    out_c, out_q, out_l, out_i = fresh()
                     cur = 0
         if cur > 0 or not emitted:
-            yield out_c, out_q, out_l
+            yield (out_c, out_q, out_l, out_i) if with_ids else (out_c, out_q, out_l)
+
+    def id_span(self):
+        """(min, max) absolute read id over all assigned rows, or None.
+
+        Feeds the cross-process disjointness check (the analog of the
+        reference's neighbor-rank read-id validation, merge_reads.cpp:542-570).
+        """
+        lo = hi = None
+        for _, _, lens, ids in self._blocks:
+            a = np.abs(ids[(lens > 0) & (ids != 0)])
+            if a.size:
+                lo = int(a.min()) if lo is None else min(lo, int(a.min()))
+                hi = int(a.max()) if hi is None else max(hi, int(a.max()))
+        return None if lo is None else (lo, hi)
 
     def qual_ok(self, quals: np.ndarray, cutoff: int = 20) -> np.ndarray:
         """phred >= cutoff mask (reference kcount.cpp:80-85)."""

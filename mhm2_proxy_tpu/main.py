@@ -56,16 +56,25 @@ def run_pipeline(opts: Options) -> Assembler:
     tracker.start()
     try:
         t0 = time.time()
-        asm.load_reads(list(opts.reads))
-        if opts.unpaired:
-            from .io.fastq import FastqReader
+        merged_ckpt = os.path.join(out_dir, "reads-merged.fastq.gz")
+        reloaded_merged = opts.restart and os.path.exists(merged_ckpt)
+        if reloaded_merged:
+            # reference --restart consumes the merged-reads checkpoint
+            # (already merged AND includes any unpaired inputs) instead of
+            # re-merging (docs/mhm_guide.md:197-210)
+            asm.load_merged_reads(merged_ckpt)
+            log.info("[restart] reloaded merged reads checkpoint")
+        else:
+            asm.load_reads(list(opts.reads))
+            if opts.unpaired:
+                from .io.fastq import FastqReader
 
-            for fname in opts.unpaired:
-                r = FastqReader(fname)
-                asm.add_unpaired(r.seqs, r.quals)
+                for fname in opts.unpaired:
+                    r = FastqReader(fname)
+                    asm.add_unpaired(r.seqs, r.quals)
         log.info(f"[module] merge_reads {time.time()-t0:.2f}s")
-        if opts.checkpoint_merged:
-            asm.dump_merged_reads(os.path.join(out_dir, "reads-merged.fastq.gz"))
+        if opts.checkpoint_merged and not reloaded_merged:
+            asm.dump_merged_reads(merged_ckpt)
             log.info("[checkpoint] wrote reads-merged.fastq.gz")
 
         profiled = False

@@ -80,36 +80,97 @@ class Assembler:
         self.log = get_logger(verbose=self.cfg.verbose)
         self.packed_reads = PackedReads(self.cfg.qual_offset)
         self.contigs: list[Contig] = []
+        self._next_read_id: int | None = None
 
     # -- ingest + merge ----------------------------------------------------
 
-    def load_reads(self, reads_fnames: list[str], byte_range=None):
+    # per-process read-id block stride (reference allocates
+    # rank*(max_est+10000)*3 estimated blocks, merge_reads.cpp:258-260;
+    # a fixed 2^44 stride guarantees disjointness with no communication)
+    READ_ID_STRIDE = 1 << 44
+
+    def load_reads(self, reads_fnames: list[str], byte_range=None,
+                   rank: int = 0, n_ranks: int = 1, validate_pairs: bool = True):
         """Stream FASTQ files (paired 'f1:f2' or interleaved) and merge pairs.
 
         Inputs are streamed in bounded-memory chunks (io/stream.py; the
         reference streams rank byte ranges, fastq.cpp:457-475) through the
-        native C++ parser when available. byte_range restricts ingest to a
-        raw-file range for per-host splits (fastq.cpp:399-455).
+        native C++ parser when available. rank/n_ranks split each input by
+        bytes for multi-process ingest: interleaved files resync to record
+        boundaries (fastq.cpp:399-455); two-file pairs are aligned to a
+        common PAIR boundary per file (set_matching_pair, fastq.cpp:310-396)
+        so same-ordinal records are guaranteed mates even when the files
+        have different record byte sizes. byte_range overrides the split for
+        single-file inputs only. With validate_pairs, mate headers are
+        normalized and checked block-vectorized (get_fq_name,
+        fastq.cpp:73-122) and a mis-paired input dies loudly.
         """
-        from ..io.stream import stream_fastq_blocks
+        from ..io.fastq import check_pair_block
+        from ..io.stream import matching_pair_ranges, stream_fastq_blocks
 
+        if self._next_read_id is None:
+            self._next_read_id = rank * self.READ_ID_STRIDE
         cfg = self.cfg
         B = resolve_block_reads(cfg.block_reads)
         kw = dict(
             pad_quantum=cfg.pad_len_quantum, qual_offset=cfg.qual_offset,
             chunk_bytes=cfg.chunk_bytes,
         )
+
+        def die_mispaired(fname, hdrs1, hdrs2, bad):
+            h1 = bytes(hdrs1[0][bad][: hdrs1[1][bad]]) if bad < len(hdrs1[1]) else b"<eof>"
+            h2 = bytes(hdrs2[0][bad][: hdrs2[1][bad]]) if bad < len(hdrs2[1]) else b"<eof>"
+            raise ValueError(
+                f"mis-paired input {fname}: record {bad}: {h1!r} vs {h2!r} "
+                "are not mates (reference merge_reads.cpp:346-348 dies here too)"
+            )
+
         for fname in reads_fnames:
             f1, f2 = split_paired_fname(fname)
             if f2 is not None:
-                it2 = stream_fastq_blocks(f2, B, byte_range=byte_range, **kw)
-                for c1, q1, l1, n1 in stream_fastq_blocks(f1, B, byte_range=byte_range, **kw):
-                    c2, q2, l2, n2 = next(it2)
+                if n_ranks > 1:
+                    br1, br2 = matching_pair_ranges(f1, f2, rank, n_ranks)
+                else:
+                    br1 = br2 = byte_range
+                it2 = stream_fastq_blocks(f2, B, byte_range=br2,
+                                          with_ids=validate_pairs, **kw)
+                for blk1 in stream_fastq_blocks(f1, B, byte_range=br1,
+                                                with_ids=validate_pairs, **kw):
+                    c1, q1, l1, n1 = blk1[:4]
+                    blk2 = next(it2, None)
+                    if blk2 is None:
+                        raise ValueError(f"paired files record mismatch: {f2} ran out first")
+                    c2, q2, l2, n2 = blk2[:4]
                     if n1 != n2:
                         raise ValueError(f"paired files record mismatch: {n1} vs {n2}")
+                    if validate_pairs:
+                        hdrs1, hdrs2 = blk1[4], blk2[4]
+                        bad = check_pair_block(
+                            hdrs1[0][:n1], hdrs1[1][:n1], hdrs2[0][:n2], hdrs2[1][:n2]
+                        )
+                        if bad >= 0:
+                            die_mispaired(fname, hdrs1, hdrs2, bad)
                     self._merge_blocks(c1, q1, l1, c2, q2, l2)
+                if next(it2, None) is not None:
+                    raise ValueError(f"paired files record mismatch: {f1} ran out first")
             else:
-                for c, q, l, n in stream_fastq_blocks(f1, 2 * B, byte_range=byte_range, **kw):
+                br = byte_range
+                if br is None and n_ranks > 1:
+                    import os
+
+                    size = os.path.getsize(f1)
+                    br = (size * rank // n_ranks, size * (rank + 1) // n_ranks)
+                for blk in stream_fastq_blocks(f1, 2 * B, byte_range=br,
+                                               with_ids=validate_pairs, **kw):
+                    c, q, l, n = blk[:4]
+                    if validate_pairs:
+                        hm, hl = blk[4]
+                        m = 2 * (n // 2)  # a dangling trailing record is not an error
+                        bad = check_pair_block(
+                            hm[0:m:2], hl[0:m:2], hm[1:m:2], hl[1:m:2]
+                        )
+                        if bad >= 0:
+                            die_mispaired(fname, (hm[0::2], hl[0::2]), (hm[1::2], hl[1::2]), bad)
                     self._merge_blocks(c[0::2], q[0::2], l[0::2], c[1::2], q[1::2], l[1::2])
         self.log.info(
             f"Merged {getattr(self, '_n_merged', 0)}/{getattr(self, '_n_pairs', 0)} pairs"
@@ -124,7 +185,19 @@ class Assembler:
 
     def add_unpaired(self, seqs, quals):
         c, q, l = _lists_to_block(seqs, quals, self.cfg.pad_len_quantum, self.cfg.qual_offset)
-        self.packed_reads.add_block(c, q, l)
+        # unpaired reads get a pair id block like the reference's dummy-mate
+        # convention (merge_reads.cpp:306-312): 2 ids per read, mate-1 sign
+        ids = -(self._take_read_ids(len(l)) + 1)
+        self.packed_reads.add_block(c, q, l, ids=ids)
+
+    def _take_read_ids(self, n_pairs: int) -> np.ndarray:
+        """Allocate n_pairs read-id bases (2 ids per pair, reference
+        merge_reads.cpp:306-329 read_id += 2)."""
+        if self._next_read_id is None:
+            self._next_read_id = 0
+        base = self._next_read_id
+        self._next_read_id += 2 * n_pairs
+        return base + 2 * np.arange(n_pairs, dtype=np.int64)
 
     def _merge_blocks(self, c1, q1, l1, c2, q2, l2):
         """Merge aligned pair blocks and pack results (block-vectorized)."""
@@ -140,33 +213,58 @@ class Assembler:
         merged = out["merged"] & (l1 > 0) & (l2 > 0)
         mi = np.nonzero(merged)[0]
         ui = np.nonzero(~merged & ((l1 > 0) | (l2 > 0)))[0]
+        # signed int64 identity (packed_reads.cpp:74-75): pair base id + 1,
+        # negative mate 1 / positive mate 2; merged reads carry the mate-1 id
+        ids = self._take_read_ids(c1.shape[0])
         if mi.size:
-            self.packed_reads.add_block(out["m_codes"][mi], out["m_quals"][mi], out["m_len"][mi])
+            self.packed_reads.add_block(
+                out["m_codes"][mi], out["m_quals"][mi], out["m_len"][mi],
+                ids=-(ids[mi] + 1),
+            )
         if ui.size:
-            self.packed_reads.add_block(c1[ui], out["quals1_z"][ui], l1[ui])
-            self.packed_reads.add_block(c2[ui], out["quals2_z"][ui], l2[ui])
+            self.packed_reads.add_block(c1[ui], out["quals1_z"][ui], l1[ui], ids=-(ids[ui] + 1))
+            self.packed_reads.add_block(c2[ui], out["quals2_z"][ui], l2[ui], ids=ids[ui] + 1)
         self._n_merged = getattr(self, "_n_merged", 0) + int(mi.size)
         self._n_pairs = getattr(self, "_n_pairs", 0) + int(((l1 > 0) & (l2 > 0)).sum())
         self.log.debug(f"Merged {mi.size}/{(l1 > 0).sum()} pairs in block")
 
+    def load_merged_reads(self, fname: str):
+        """Reload a --checkpoint-merged FASTQ: reads are already merged, so
+        ingest skips the pair-merge pass entirely (reference --restart
+        consumes *-merged.fastq the same way, docs/mhm_guide.md:197-210).
+        Read ids round-trip through the r<id>/<mate> names."""
+        from ..io.fastq import parse_rid_headers
+        from ..io.stream import stream_fastq_blocks
+
+        cfg = self.cfg
+        B = resolve_block_reads(cfg.block_reads)
+        hi_id = 0
+        for c, q, l, n, (hm, hl) in stream_fastq_blocks(
+            fname, B, pad_quantum=cfg.pad_len_quantum, qual_offset=cfg.qual_offset,
+            chunk_bytes=cfg.chunk_bytes, with_ids=True,
+        ):
+            ids = parse_rid_headers(hm[:n], hl[:n])
+            if ids.size:
+                hi_id = max(hi_id, int(np.abs(ids).max()))
+            self.packed_reads.add_block(c[:n], q[:n], l[:n], ids=ids)
+        self._next_read_id = hi_id  # continue past the reloaded block
+        self.log.info(
+            f"Reloaded {len(self.packed_reads)} merged reads from {fname}"
+        )
+
     def dump_merged_reads(self, fname: str):
         """Write the merged/packed read set as FASTQ (reference
-        --checkpoint-merged, merged fname convention utils.cpp:154-161)."""
+        --checkpoint-merged, merged fname convention utils.cpp:154-161).
+        Vectorized block rendering (io/fastq.py render_fastq_block) — no
+        per-read Python at arctic scale."""
         import gzip
 
-        lut = np.frombuffer(b"ACGTN", np.uint8)
+        from ..io.fastq import render_fastq_block
+
         opener = gzip.open if fname.endswith(".gz") else open
-        rid = 0
         with opener(fname, "wb") as f:
-            for codes, quals, lens in self.packed_reads.blocks(4096):
-                for i in range(codes.shape[0]):
-                    n = int(lens[i])
-                    if n == 0:
-                        continue
-                    f.write(b"@r" + str(rid).encode() + b"\n")
-                    f.write(lut[codes[i, :n]].tobytes() + b"\n+\n")
-                    f.write(quals[i, :n].tobytes() + b"\n")
-                    rid += 1
+            for codes, quals, lens, ids in self.packed_reads.blocks(65536, with_ids=True):
+                f.write(render_fastq_block(ids, codes, quals, lens))
 
     # -- contigging rounds -------------------------------------------------
 

@@ -191,7 +191,9 @@ def post_asm_align(
             sam.write(f"@SQ\tSN:Contig{cidx}\tLN:{len(c)}\n")
         sam.write("@PG\tID:mhm2_proxy_tpu\tPN:mhm2_proxy_tpu\n")
     rid = 0
-    for codes, quals, lens in asm.packed_reads.blocks(block_reads, min_len=k):
+    for codes, quals, lens, ids in asm.packed_reads.blocks(
+        block_reads, min_len=k, with_ids=True
+    ):
         out = align_reads_to_contigs(
             codes, lens, contigs, index=index, k=k, cigars=sam is not None
         )
@@ -204,7 +206,14 @@ def post_asm_align(
         np.add.at(aligned_bases, np.clip(out["cid"], 0, None), span)
         if sam:
             for i in np.nonzero(mask)[0]:
-                sam.write(sam_record(f"read_{rid + int(i)}", out, int(i), lens) + "\n")
+                # real read identity (packed_reads.cpp:74-75 id convention);
+                # anonymous rows keep a positional fallback name
+                rid_i = int(ids[i])
+                name = (
+                    f"r{abs(rid_i)}/{2 if rid_i > 0 else 1}"
+                    if rid_i else f"read_{rid + int(i)}"
+                )
+                sam.write(sam_record(name, out, int(i), lens) + "\n")
         rid += int(codes.shape[0])
         if sample_reads is not None and tot >= sample_reads:
             break

@@ -3,6 +3,7 @@ from .multihost import (  # noqa: F401
     HierarchicalCounter,
     make_host_mesh,
     init_multihost,
+    check_read_id_disjointness,
     host_byte_ranges,
     write_fasta_multihost,
 )

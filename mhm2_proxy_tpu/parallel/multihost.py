@@ -285,6 +285,31 @@ def host_byte_ranges(file_size: int, n_hosts: int) -> list[tuple[int, int]]:
     ]
 
 
+def check_read_id_disjointness(id_span: tuple[int, int] | None):
+    """Verify no two processes assigned overlapping read-id ranges (the
+    analog of the reference's neighbor-rank disjointness rpc,
+    merge_reads.cpp:542-570, done as one allgather of [lo, hi] spans).
+
+    id_span: local (min_abs_id, max_abs_id) from PackedReads.id_span(), or
+    None when this process holds no identified reads. Raises on overlap.
+    """
+    from jax.experimental import multihost_utils
+
+    lo, hi = id_span if id_span is not None else (-1, -1)
+    spans = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray([lo, hi], dtype=jnp.int64))
+    ).reshape(-1, 2)
+    live = spans[spans[:, 0] >= 0]
+    order = np.argsort(live[:, 0], kind="stable")
+    live = live[order]
+    for a, b in zip(live[:-1], live[1:]):
+        if b[0] <= a[1]:
+            raise ValueError(
+                f"read-id ranges overlap across processes: {a.tolist()} vs {b.tolist()}"
+            )
+    return len(live)
+
+
 def write_fasta_multihost(fname: str, local_payload: bytes, process_id: int,
                           n_processes: int, sizes: list[int] | None = None):
     """N-hosts-one-file coordinated write (reference dist_ofstream,

@@ -32,41 +32,68 @@ def main():
 
     from mhm2_proxy_tpu.parallel import (
         HierarchicalCounter,
+        check_read_id_disjointness,
         init_multihost,
         make_host_mesh,
         write_fasta_multihost,
     )
     from mhm2_proxy_tpu.dbjg import traverse_debruijn_graph_sharded
     from mhm2_proxy_tpu.io.fastq import FastqReader
-    from mhm2_proxy_tpu.models.assembler import _lists_to_block
+    from mhm2_proxy_tpu.models.assembler import Assembler, AssemblerConfig, _lists_to_block
     from mhm2_proxy_tpu.constants import QUAL_CUTOFF
 
     init_multihost(f"localhost:{port}", n_procs, pid)
     assert jax.process_count() == n_procs
     mesh = make_host_mesh()  # (n_procs hosts) x (local_dev devices)
 
-    # per-host byte-range ingest with record-boundary resync
-    rdr = FastqReader(fastq, rank=pid, n_ranks=n_procs)
     k = 21
     qual_offset = 33
-
-    # agree on a common block count across hosts (read counts differ by a few)
     B_loc = 64
-    n_local = len(rdr.seqs)
-    counts = multihost_utils.process_allgather(jnp.asarray([n_local], jnp.int32))
-    n_blocks = (int(np.max(counts)) + B_loc - 1) // B_loc
-
     counter = HierarchicalCounter(k, mesh, bucket_cap=8192)
-    L = 96  # pad quantum covers the test read length
-    for b in range(n_blocks):
-        seqs = rdr.seqs[b * B_loc : (b + 1) * B_loc]
-        quals = rdr.quals[b * B_loc : (b + 1) * B_loc]
-        codes, q, lens = _lists_to_block(seqs, quals, 32, qual_offset, rows=B_loc)
-        if codes.shape[1] < L:
-            codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])), constant_values=4)
-            q = np.pad(q, ((0, 0), (0, L - q.shape[1])), constant_values=qual_offset)
-        qual_ok = q >= qual_offset + QUAL_CUTOFF
-        counter.add_reads_block(codes, qual_ok, lens)
+
+    if ":" in fastq:
+        # two-file paired ingest: per-rank byte ranges aligned to a common
+        # PAIR boundary (fastq.cpp:310-396 analog) + merge + read ids
+        asm = Assembler(AssemblerConfig(kmer_lens=(k,), block_reads=B_loc))
+        asm.load_reads([fastq], rank=pid, n_ranks=n_procs)
+        # reference's cross-rank read-id disjointness check
+        # (merge_reads.cpp:542-570)
+        check_read_id_disjointness(asm.packed_reads.id_span())
+        # agree on pad width + block count across hosts
+        lw = multihost_utils.process_allgather(
+            jnp.asarray([asm.packed_reads.max_read_len, len(asm.packed_reads)], jnp.int32)
+        )
+        lw = np.asarray(lw).reshape(-1, 2)
+        L = (int(lw[:, 0].max()) + 31) // 32 * 32
+        n_blocks = (int(lw[:, 1].max()) + B_loc - 1) // B_loc
+        blocks = list(asm.packed_reads.blocks(B_loc, pad_len=L, min_len=k))
+        for b in range(n_blocks):
+            if b < len(blocks):
+                codes, q, lens = blocks[b]
+            else:
+                codes = np.full((B_loc, L), 4, np.uint8)
+                q = np.zeros((B_loc, L), np.uint8)
+                lens = np.zeros((B_loc,), np.int32)
+            counter.add_reads_block(codes, q >= qual_offset + QUAL_CUTOFF, lens)
+    else:
+        # per-host byte-range ingest with record-boundary resync
+        rdr = FastqReader(fastq, rank=pid, n_ranks=n_procs)
+
+        # agree on a common block count across hosts (read counts differ by a few)
+        n_local = len(rdr.seqs)
+        counts = multihost_utils.process_allgather(jnp.asarray([n_local], jnp.int32))
+        n_blocks = (int(np.max(counts)) + B_loc - 1) // B_loc
+
+        L = 96  # pad quantum covers the test read length
+        for b in range(n_blocks):
+            seqs = rdr.seqs[b * B_loc : (b + 1) * B_loc]
+            quals = rdr.quals[b * B_loc : (b + 1) * B_loc]
+            codes, q, lens = _lists_to_block(seqs, quals, 32, qual_offset, rows=B_loc)
+            if codes.shape[1] < L:
+                codes = np.pad(codes, ((0, 0), (0, L - codes.shape[1])), constant_values=4)
+                q = np.pad(q, ((0, 0), (0, L - q.shape[1])), constant_values=qual_offset)
+            qual_ok = q >= qual_offset + QUAL_CUTOFF
+            counter.add_reads_block(codes, qual_ok, lens)
     assert counter.dropped == 0
     table = counter.finalize()
     contigs = traverse_debruijn_graph_sharded(table, k)
@@ -82,7 +109,8 @@ def main():
 
     with open(os.path.join(outdir, f"contigs-{pid}.json"), "w") as f:
         json.dump([[s, d] for s, d in contigs], f)
-    print(f"worker {pid} ok: {len(rdr.seqs)} reads, {len(contigs)} contigs", flush=True)
+    n_reads = len(asm.packed_reads) if ":" in fastq else len(rdr.seqs)
+    print(f"worker {pid} ok: {n_reads} reads, {len(contigs)} contigs", flush=True)
 
 
 if __name__ == "__main__":
