@@ -381,26 +381,46 @@ class Assembler:
             )
         return self.contigs
 
+    # cells (rows x padded length) per ctg-pass block: bounds both the device
+    # working set and the extraction work per dispatch
+    CTG_CELL_BUDGET = 1 << 19
+
     def _add_ctg_kmers(self, store, k: int):
-        """Second pass: contig k-mers with depth (reference kcount.cpp:100-138)."""
+        """Second pass: contig k-mers with depth (reference kcount.cpp:100-138).
+
+        Contigs are binned into power-of-two length buckets and each bucket
+        packs blocks padded to ITS width, not the global max: with
+        reference-like skew (N50 ~1.9 kb, largest 71 kb) padding every block
+        to the longest contig inflates cells ~35x and recompiles per new max
+        length. Pow2 buckets bound cell waste at <2x and keep the compile
+        shape set fixed across rounds (the reference's 3 MB seq-block packing
+        plays the same role, kcount.cpp:100-138 + KCOUNT_SEQ_BLOCK_SIZE).
+        """
         cfg = self.cfg
         ctgs = [c for c in self.contigs if len(c.seq) >= k + 2]
         if not ctgs:
             return
-        B = 256 if self.cfg.n_shards == 0 else 32 * self.cfg.n_shards
-        maxlen = max(len(c.seq) for c in ctgs)
-        q = cfg.pad_len_quantum
-        L = ((maxlen + q - 1) // q) * q
-        for s in range(0, len(ctgs), B):
-            chunk = ctgs[s : s + B]
-            codes = np.full((B, L), 4, np.uint8)
-            lens = np.zeros(B, np.int32)
-            deps = np.zeros(B, np.int32)
-            for i, c in enumerate(chunk):
-                codes[i, : len(c.seq)] = ascii_to_codes(c.seq.encode())
-                lens[i] = len(c.seq)
-                deps[i] = min(max(int(c.depth), 0), 0xFFFF)
-            store.add_ctgs_block(codes, lens, deps)
+        row_q = 8 if cfg.n_shards == 0 else max(8, cfg.n_shards)
+        buckets: dict[int, list] = {}
+        for c in ctgs:
+            L = max(64, 1 << (len(c.seq) - 1).bit_length())
+            buckets.setdefault(L, []).append(c)
+        for L, group in sorted(buckets.items()):
+            B = max(row_q, self.CTG_CELL_BUDGET // L // row_q * row_q)
+            for s in range(0, len(group), B):
+                chunk = group[s : s + B]
+                # last block shrinks to pow2 of its occupancy (shapes stay a
+                # small pow2 x pow2 set; row padding stays <2x)
+                Bc = min(B, max(row_q, 1 << (len(chunk) - 1).bit_length()))
+                Bc = -(-Bc // row_q) * row_q
+                codes = np.full((Bc, L), 4, np.uint8)
+                lens = np.zeros(Bc, np.int32)
+                deps = np.zeros(Bc, np.int32)
+                for i, c in enumerate(chunk):
+                    codes[i, : len(c.seq)] = ascii_to_codes(c.seq.encode())
+                    lens[i] = len(c.seq)
+                    deps[i] = min(max(int(c.depth), 0), 0xFFFF)
+                store.add_ctgs_block(codes, lens, deps)
 
     def run(self, kmer_lens=None) -> list[Contig]:
         for k in kmer_lens or self.cfg.kmer_lens:
