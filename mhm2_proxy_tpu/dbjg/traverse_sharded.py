@@ -139,4 +139,4 @@ def traverse_debruijn_graph_sharded(table: ShardedTable, k: int, stats: dict | N
         from .traverse import term_stats_to_dict
 
         stats["terminations"] = term_stats_to_dict(term_stats)
-    return stitch_paths_sharded(table, edges, k)
+    return stitch_paths_sharded(table, edges, k, stats=stats)

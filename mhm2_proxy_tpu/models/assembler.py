@@ -374,6 +374,13 @@ class Assembler:
             f"fork={term.get('fork', 0)} conflict={term.get('conflict', 0)} "
             f"repeat={term.get('repeat', 0)}"
         )
+        if "stitch_rounds" in tstats:
+            sr = tstats["stitch_rounds"]
+            self.log.info(
+                f"k={k}: sharded stitch rounds {sr['doubling']}+{sr['cycle_min']}"
+                f"+{sr['post_cut']} (static bound {sr['static_bound']} each), "
+                f"all_to_all {tstats['stitch_all_to_all_bytes'] >> 20} MiB"
+            )
         if cfg.checkpoint:
             write_fasta(
                 f"{cfg.output_dir}/contigs-{k}.fasta",

@@ -64,9 +64,16 @@ def align_reads_to_contigs(
     codes: np.ndarray, lens: np.ndarray, contigs: list[str],
     index=None, k: int = 31,
     match=1, mismatch=1, gap_open=1, gap_extend=1,
-    cigars: bool = False,
+    cigars: bool = False, n_seeds: int = 5,
 ):
     """Anchor + align a block of reads against contigs.
+
+    Anchoring is MULTI-SEED (reference klign seeds every read at several
+    k-mers; a single mid-read anchor loses the read to one sequencing error
+    or a non-unique k-mer): each read samples `n_seeds` k-mer positions, all
+    are looked up in one batch, and the seeds vote on (contig, orientation,
+    diagonal) with a small indel slack — the winning seed anchors the
+    alignment window; any found seed rescues an otherwise-lost read.
 
     Returns dict with per-read contig id (-1 unanchored), score, identity,
     begin/end spans, orientation (rev), the window offset within the contig
@@ -80,23 +87,44 @@ def align_reads_to_contigs(
         return dict(cid=np.full(B, -1, np.int32), score=np.zeros(B, np.int32),
                     identity=np.zeros(B, np.float32))
     B, L = codes.shape
-    # one anchor kmer per read: the middle valid kmer
-    words = np.asarray(
-        bk.kmer_words_from_codes(jnp.asarray(codes), index["k"])
-    )
+    kk = index["k"]
+    words = np.asarray(bk.kmer_words_from_codes(jnp.asarray(codes), kk))
     P = words.shape[1]
-    mid = np.clip((lens - index["k"]) // 2, 0, P - 1)
-    anchor = words[np.arange(B), mid]
-    cw, q_rc = bk.canonicalize_words(jnp.asarray(anchor), index["k"])
-    q_rc = np.asarray(q_rc)
-    idx, found = table_lookup(
-        jnp.asarray(index["words"]), jnp.int32(len(index["words"])), cw
+    span = np.maximum(lens - kk, 0).astype(np.int64)
+    # seed fractions ordered by centrality so argmax tie-breaks to the middle
+    fracs = np.array([0.5, 0.25, 0.75, 0.0, 1.0])[:n_seeds]
+    NS = len(fracs)
+    posS = np.clip((span[:, None] * fracs[None, :]).astype(np.int64), 0, P - 1)
+    anchors = words[np.arange(B)[:, None], posS]  # (B, NS, W)
+    cwS, q_rcS = bk.canonicalize_words(
+        jnp.asarray(anchors.reshape(B * NS, -1)), kk
     )
-    idx, found = np.asarray(idx), np.asarray(found)
-    cid = np.where(found & (lens >= index["k"]), index["cid"][idx], -1)
-    # orientation of the read relative to the contig
-    rel_rc = q_rc ^ index["rc"][idx]
-    rel_rc = np.where(cid >= 0, rel_rc, False)
+    q_rcS = np.asarray(q_rcS).reshape(B, NS)
+    idxS, foundS = table_lookup(
+        jnp.asarray(index["words"]), jnp.int32(len(index["words"])), cwS
+    )
+    idxS = np.asarray(idxS).reshape(B, NS)
+    foundS = np.asarray(foundS).reshape(B, NS)
+    cidS = np.where(foundS & (lens >= kk)[:, None], index["cid"][idxS], -1)
+    rel_rcS = (q_rcS ^ index["rc"][idxS]) & (cidS >= 0)
+    # oriented read position of each anchor and the implied contig diagonal
+    midS = np.where(rel_rcS, span[:, None] - posS, posS)
+    centerS = index["off"][idxS].astype(np.int64)
+    diagS = centerS - midS
+    # vote: seeds agreeing on (contig, orientation, diagonal +- indel slack)
+    same = (
+        (cidS[:, :, None] == cidS[:, None, :])
+        & (rel_rcS[:, :, None] == rel_rcS[:, None, :])
+        & (np.abs(diagS[:, :, None] - diagS[:, None, :]) <= 16)
+        & (cidS >= 0)[:, None, :]
+    )
+    votes = np.where(cidS >= 0, same.sum(-1), -1)
+    s_star = np.argmax(votes, axis=1)
+    rb = np.arange(B)
+    cid = cidS[rb, s_star]
+    idx = idxS[rb, s_star]
+    rel_rc = rel_rcS[rb, s_star]
+    mid = midS[rb, s_star]
     # reverse-complement reads that anchor in reverse orientation
     j = np.arange(L)[None, :]
     rev_idx = np.clip(lens[:, None] - 1 - j, 0, L - 1)
@@ -104,8 +132,6 @@ def align_reads_to_contigs(
     codes_rc = np.where(codes_rc < 4, 3 - codes_rc, codes_rc).astype(np.uint8)
     codes_rc = np.where(j < lens[:, None], codes_rc, 4).astype(np.uint8)
     codes = np.where(rel_rc[:, None], codes_rc, codes)
-    # mid kmer position flips under rc: pos' = len - k - pos
-    mid = np.where(rel_rc, np.maximum(lens - index["k"], 0) - mid, mid)
 
     # vectorized ref windows around the anchor (one gather over the
     # concatenated contig buffer; no per-read python loop)
