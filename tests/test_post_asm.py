@@ -147,3 +147,32 @@ def test_cigar_batch_matches_host(rng):
         hc, hm = sw_cigar_host(qs, rs, aln, i, **scoring)
         assert cigs[i] == hc, (i, qs, rs, cigs[i], hc)
         assert mms[i] == hm, (i, qs, rs)
+
+
+def test_multi_seed_beats_single_seed_anchoring(rng):
+    """Multi-seed voting (VERDICT r2 #7): reads with an error near the middle
+    k-mer must still anchor; aligned_frac >= the single-seed number."""
+    genome = random_genome(rng, 4000)
+    contigs = [genome]
+    idx = build_contig_index(contigs, 31)
+    B, L = 256, 90
+    codes = np.full((B, L), 4, np.uint8)
+    lens = np.full(B, L, np.int32)
+    for i in range(B):
+        s = int(rng.integers(0, len(genome) - L))
+        codes[i] = ascii_to_codes(genome[s : s + L].encode())
+        # corrupt one base right at the middle: every mid-anchored k-mer
+        # (positions within k of the center) is destroyed
+        codes[i, L // 2] = (codes[i, L // 2] + 1) % 4
+
+    single = align_reads_to_contigs(codes, lens, contigs, index=idx, k=31, n_seeds=1)
+    multi = align_reads_to_contigs(codes, lens, contigs, index=idx, k=31, n_seeds=5)
+    f1 = float((single["cid"] >= 0).mean())
+    f5 = float((multi["cid"] >= 0).mean())
+    # the mid anchor always dies (error sits inside it); edge seeds recover
+    assert f1 == 0.0, f1
+    assert f5 > 0.95, f5
+
+    # seeds must agree on the true diagonal: alignments score near-perfect
+    ok = multi["cid"] >= 0
+    assert (multi["score"][ok] >= L - 6).all()
