@@ -32,6 +32,11 @@ def _lex_leq_rows(a, b):
     return le
 
 
+# test override for the merge-join fast path: None = auto (TPU only),
+# True/False forces (CPU tests run it in Pallas interpret mode)
+_USE_MERGE_JOIN = None
+
+
 def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
                payload_bits: int = 32):
     """Shared sort-join core; payload is an optional (T,) uint32 lane that
@@ -40,37 +45,76 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     XLA:TPU anti-pattern (a row gather at millions of indices costs several
     times the extra sort lane). When (T+1) << payload_bits fits u32, the
     (idx, payload) combo propagates in ONE u32 lane instead of an i64 (i64
-    lanes cost 2x through the sort network and propagation on TPU)."""
+    lanes cost 2x through the sort network and propagation on TPU).
+
+    MERGE-JOIN fast path (TPU + fused lane): the table side is ALWAYS
+    already lexsorted (dense sorted prefix + sentinel tail), so sorting the
+    (T+Q) concatenation wastes the table's order. Instead only the Q query
+    rows are comparator-sorted and the two sorted runs meet in the Pallas
+    bitonic-merge network (ops/pallas_sort.py, ~2.4x lax.sort on the merge
+    task) — the join's dominant sort shrinks from (T+Q) to Q rows. Pad rows
+    (to the merge's pow2 total) carry sentinel keys and a query-flagged
+    source id of Q, routing them harmlessly past the Q real answers in the
+    back sort."""
     T = table_words.shape[0]
     Q = query_words.shape[0]
-    words = jnp.concatenate([table_words, query_words])
-    W = words.shape[1]
+    W = table_words.shape[1]
     # fuse (source row | is_query | payload) into ONE u32 lane when the bits
     # fit (row < 2^25 covers 33M-row tables/query sets; payloads are <= 6
     # bits on the de Bruijn edge path): one lane fewer through the join sort
     # is a ~25% traffic cut on its dominant op
     fused = payload is not None and payload_bits + 26 <= 32 and max(T, Q) < (1 << 25)
-    if fused:
-        src = jnp.concatenate(
-            [
-                jnp.arange(T, dtype=jnp.uint32),
-                jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 25),
-            ]
-        ) | (
-            jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)])
-            << jnp.uint32(26)
+    use_merge = _USE_MERGE_JOIN
+    if use_merge is None:
+        use_merge = jax.default_backend() == "tpu"
+    if fused and use_merge:
+        from .pallas_sort import merge_sorted_lanes
+
+        interp = jax.default_backend() != "tpu"
+        qsrc = jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 25)
+        qs = jax.lax.sort(
+            tuple(query_words[:, w] for w in range(W)) + (qsrc,),
+            num_keys=W, is_stable=False,
         )
-        lanes = (src,)
+        tsrc = jnp.arange(T, dtype=jnp.uint32) | (
+            payload.astype(jnp.uint32) << jnp.uint32(26)
+        )
+        total = T + Q
+        m = 1 << max(8, (total - 1).bit_length())
+        pad = m - total
+        b_lanes = tuple(qs)
+        if pad:
+            padfill = [jnp.uint32(0xFFFFFFFF)] * W + [jnp.uint32((1 << 25) | Q)]
+            b_lanes = tuple(
+                jnp.concatenate([x, jnp.full((pad,), padfill[i], jnp.uint32)])
+                for i, x in enumerate(b_lanes)
+            )
+        a_lanes = tuple(table_words[:, w] for w in range(W)) + (tsrc,)
+        # pads route to dest Q (< T+Q sentinel), past the Q real answers
+        out = merge_sorted_lanes(a_lanes, b_lanes, kw=W, interpret=interp)
     else:
-        src = jnp.concatenate(
-            [jnp.arange(T, dtype=jnp.uint32), jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 31)]
+        words = jnp.concatenate([table_words, query_words])
+        if fused:
+            src = jnp.concatenate(
+                [
+                    jnp.arange(T, dtype=jnp.uint32),
+                    jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 25),
+                ]
+            ) | (
+                jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)])
+                << jnp.uint32(26)
+            )
+            lanes = (src,)
+        else:
+            src = jnp.concatenate(
+                [jnp.arange(T, dtype=jnp.uint32), jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 31)]
+            )
+            lanes = (src,)
+            if payload is not None:
+                lanes = lanes + (jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)]),)
+        out = jax.lax.sort(
+            tuple(words[:, w] for w in range(W)) + lanes, num_keys=W, is_stable=True
         )
-        lanes = (src,)
-        if payload is not None:
-            lanes = lanes + (jnp.concatenate([payload.astype(jnp.uint32), jnp.zeros((Q,), jnp.uint32)]),)
-    out = jax.lax.sort(
-        tuple(words[:, w] for w in range(W)) + lanes, num_keys=W, is_stable=True
-    )
     sw = jnp.stack(out[:W], axis=-1)
     if fused:
         sq = ((out[W] >> jnp.uint32(25)) & jnp.uint32(1)).astype(bool)

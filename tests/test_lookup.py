@@ -1,0 +1,58 @@
+"""Sort-join lookups: merge-join fast path == concat-sort path.
+
+The TPU merge-join (ops/lookup.py) sorts only the queries and bitonic-merges
+them with the already-sorted table; on CPU it runs through the Pallas
+interpreter. Every (idx, found, payload) answer must equal the default
+concat-sort join, including duplicate queries, misses, and sentinel rows.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mhm2_proxy_tpu.ops import lookup
+
+
+def _mk_table(rng, T, W=2, n_valid=None):
+    keys = np.unique(rng.integers(0, 1 << 42, 2 * T, dtype=np.uint64))[:T]
+    keys.sort()
+    words = np.stack(
+        [(keys >> 10).astype(np.uint32), ((keys & 0x3FF) << 22).astype(np.uint32)],
+        axis=-1,
+    )
+    n = T if n_valid is None else n_valid
+    words[n:] = 0xFFFFFFFF  # sentinel tail
+    return jnp.asarray(words), jnp.int32(n), keys[:n]
+
+
+@pytest.mark.parametrize("Q", [64, 1000])
+def test_merge_join_equals_concat_join(rng, Q):
+    T = 512
+    words, n, keys = _mk_table(rng, T, n_valid=T - 30)
+    payload = jnp.asarray(rng.integers(0, 64, T, dtype=np.uint32))
+
+    # queries: half hits, some duplicates, some misses, some sentinels
+    hit = keys[rng.integers(0, len(keys), Q // 2)]
+    miss = rng.integers(0, 1 << 42, Q - Q // 2 - 8, dtype=np.uint64)
+    qk = np.concatenate([hit, miss])
+    qw = np.stack(
+        [(qk >> 10).astype(np.uint32), ((qk & 0x3FF) << 22).astype(np.uint32)],
+        axis=-1,
+    )
+    qw = np.concatenate([qw, np.full((8, 2), 0xFFFFFFFF, np.uint32)])
+    qw = jnp.asarray(qw)
+
+    try:
+        lookup._USE_MERGE_JOIN = False
+        i0, f0, p0 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+        lookup._USE_MERGE_JOIN = True
+        i1, f1, p1 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+    finally:
+        lookup._USE_MERGE_JOIN = None
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # hits actually resolve to the right rows
+    f = np.asarray(f1)
+    assert f[: Q // 2].all()
+    assert not f[-8:].any()
