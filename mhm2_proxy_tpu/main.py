@@ -31,6 +31,23 @@ def load_checkpoint_contigs(fname: str) -> list[Contig]:
     return out
 
 
+def log_module(log, name: str, secs: float):
+    """[module] timing line; multi-process runs aggregate min/avg/max across
+    processes (reference MinSumMax reductions, upcxx-utils/timers.hpp:42-161)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from .parallel import min_sum_max
+
+        s = min_sum_max(secs)
+        log.info(
+            f"[module] {name} {s['avg']:.2f}s "
+            f"(min {s['min']:.2f} max {s['max']:.2f} over {s['n']} procs)"
+        )
+    else:
+        log.info(f"[module] {name} {secs:.2f}s")
+
+
 def run_pipeline(opts: Options) -> Assembler:
     out_dir = setup_output_dir(opts)
     log = get_logger(log_file=os.path.join(out_dir, "mhm2_tpu.log"), verbose=opts.verbose)
@@ -72,7 +89,7 @@ def run_pipeline(opts: Options) -> Assembler:
                 for fname in opts.unpaired:
                     r = FastqReader(fname)
                     asm.add_unpaired(r.seqs, r.quals)
-        log.info(f"[module] merge_reads {time.time()-t0:.2f}s")
+        log_module(log, "merge_reads", time.time() - t0)
         if opts.checkpoint_merged and not reloaded_merged:
             asm.dump_merged_reads(merged_ckpt)
             log.info("[checkpoint] wrote reads-merged.fastq.gz")
@@ -94,7 +111,7 @@ def run_pipeline(opts: Options) -> Assembler:
                 log.info(f"[profile] trace written to {out_dir}/profile")
             else:
                 asm.run_round(k)
-            log.info(f"[module] contigging k={k} {time.time()-t0:.2f}s")
+            log_module(log, f"contigging k={k}", time.time() - t0)
             if os.environ.get("MHM2_TPU_TEST_CRASH_ROUND") == str(k):
                 # fault injection for supervisor tests: die hard AFTER the
                 # round's checkpoint is on disk (launcher.py auto-resume)
@@ -121,7 +138,7 @@ def run_pipeline(opts: Options) -> Assembler:
                 abundance_fname=os.path.join(out_dir, "final_assembly_depths.tsv")
                 if opts.post_asm_abundance else None,
             )
-            log.info(f"[module] post_asm_align {time.time()-t0:.2f}s")
+            log_module(log, "post_asm_align", time.time() - t0)
         asm.print_stats()
         log.info("Finished")
     finally:

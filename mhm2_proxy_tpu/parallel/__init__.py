@@ -5,5 +5,6 @@ from .multihost import (  # noqa: F401
     init_multihost,
     check_read_id_disjointness,
     host_byte_ranges,
+    min_sum_max,
     write_fasta_multihost,
 )

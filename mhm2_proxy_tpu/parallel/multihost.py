@@ -285,6 +285,26 @@ def host_byte_ranges(file_size: int, n_hosts: int) -> list[tuple[int, int]]:
     ]
 
 
+def min_sum_max(value: float) -> dict:
+    """Cross-process min/avg/max of a scalar (reference MinSumMax reductions,
+    upcxx-utils/timers.hpp:42-161, used for per-module time balance reports).
+
+    Single-process: degenerate (min == avg == max == value)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return dict(min=value, avg=value, max=value, n=1)
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray([value], jnp.float64))
+    ).reshape(-1)
+    return dict(
+        min=float(vals.min()), avg=float(vals.mean()), max=float(vals.max()),
+        n=len(vals),
+    )
+
+
 def check_read_id_disjointness(id_span: tuple[int, int] | None):
     """Verify no two processes assigned overlapping read-id ranges (the
     analog of the reference's neighbor-rank disjointness rpc,

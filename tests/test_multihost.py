@@ -138,3 +138,10 @@ def test_write_fasta_singleproc(tmp_path):
     for pid, pl in enumerate(payloads):
         write_fasta_multihost(f, pl, pid, 2, sizes=sizes)
     assert open(f, "rb").read() == b"".join(payloads)
+
+
+def test_min_sum_max_single_process():
+    from mhm2_proxy_tpu.parallel import min_sum_max
+
+    s = min_sum_max(3.5)
+    assert s == dict(min=3.5, avg=3.5, max=3.5, n=1)
