@@ -94,8 +94,17 @@ def run_pipeline(opts: Options) -> Assembler:
             asm.dump_merged_reads(merged_ckpt)
             log.info("[checkpoint] wrote reads-merged.fastq.gz")
 
+        if opts.post_asm_only:
+            # reference --post-asm-only (docs/mhm_guide.md:226-233): take the
+            # existing final assembly in the output dir and run only the
+            # requested post-assembly steps on it
+            fa = os.path.join(out_dir, "final_assembly.fasta")
+            if not os.path.exists(fa):
+                raise FileNotFoundError(f"--post-asm-only needs {fa}")
+            asm.contigs = load_checkpoint_contigs(fa)
+            log.info(f"[post-asm-only] loaded {len(asm.contigs)} contigs from {fa}")
         profiled = False
-        for k in opts.kmer_lens:
+        for k in opts.kmer_lens if not opts.post_asm_only else []:
             ckpt = os.path.join(out_dir, f"contigs-{k}.fasta")
             if opts.restart and os.path.exists(ckpt):
                 asm.contigs = load_checkpoint_contigs(ckpt)
@@ -117,7 +126,8 @@ def run_pipeline(opts: Options) -> Assembler:
                 # round's checkpoint is on disk (launcher.py auto-resume)
                 os.kill(os.getpid(), 9)
 
-        asm.dump_contigs(os.path.join(out_dir, "final_assembly.fasta"))
+        if not opts.post_asm_only:
+            asm.dump_contigs(os.path.join(out_dir, "final_assembly.fasta"))
         if opts.gfa:
             from .io.gfa import write_gfa2
 

@@ -38,6 +38,7 @@ class Options:
     profile: bool = False
     post_asm_align: bool = False
     post_asm_abundance: bool = False
+    post_asm_only: bool = False
 
     def save(self, fname: str):
         with open(fname, "w") as f:
@@ -93,9 +94,14 @@ def parse_args(argv=None) -> Options:
     p.add_argument("--post-asm-align", action="store_true",
                    help="align all reads back to the final assembly; writes "
                         "final_assembly.sam (docs/mhm_guide.md:211-221)")
-    p.add_argument("--post-asm-abundance", action="store_true",
+    p.add_argument("--post-asm-abundance", "--post-asm-abd", action="store_true",
+                   dest="post_asm_abundance",
                    help="compute per-contig depths from read alignments; writes "
-                        "final_assembly_depths.tsv (docs/mhm_guide.md:222-233)")
+                        "final_assembly_depths.tsv (docs/mhm_guide.md:215-225)")
+    p.add_argument("--post-asm-only", action="store_true",
+                   help="run only the post-assembly steps on the existing "
+                        "final_assembly.fasta in the output dir "
+                        "(docs/mhm_guide.md:226-233)")
     p.add_argument("--config", default=None, help="load options from a config file")
     p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
@@ -131,6 +137,7 @@ def parse_args(argv=None) -> Options:
         profile=a.profile,
         post_asm_align=a.post_asm_align,
         post_asm_abundance=a.post_asm_abundance,
+        post_asm_only=a.post_asm_only,
     )
 
 

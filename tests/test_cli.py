@@ -169,3 +169,20 @@ def test_parse_run_log_table(tmp_path):
     table = format_table(entries)
     assert "merge_reads" in table and "25.0%" in table and "TOTAL" in table
     assert "50.00" in table  # total seconds
+
+
+def test_post_asm_only_runs_on_existing_assembly(rng, tmp_path):
+    genome, fq = make_data(rng, tmp_path, n=1500)
+    out = str(tmp_path / "run2")
+    run_pipeline(Options(reads=[fq], kmer_lens=[21], output_dir=out, block_reads=1024))
+    assert os.path.exists(f"{out}/final_assembly.fasta")
+    before = open(f"{out}/final_assembly.fasta").read()
+    # --post-asm-only (+ --post-asm-abd alias) reuses the existing assembly
+    opts = parse_args(["-r", fq, "-k", "21", "-o", out, "--post-asm-only",
+                       "--post-asm-abd", "--block-reads", "1024"])
+    assert opts.post_asm_abundance and opts.post_asm_only
+    run_pipeline(opts)
+    assert os.path.exists(f"{out}/final_assembly_depths.tsv")
+    assert open(f"{out}/final_assembly.fasta").read() == before
+    rows = open(f"{out}/final_assembly_depths.tsv").read().splitlines()
+    assert rows[0].startswith("contigName") and len(rows) > 1
