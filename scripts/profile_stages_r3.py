@@ -97,8 +97,33 @@ def main():
 
     q = jnp.concatenate([twords, twords])
     ext_pay = tleft.astype(jnp.uint32) | (tright.astype(jnp.uint32) << jnp.uint32(3))
-    timed("table_join_payload (T + 2T rows)", jax.jit(
+    from mhm2_proxy_tpu.ops import lookup as LK
+
+    LK._USE_MERGE_JOIN = False
+    timed("join OLD (concat sort, T+2T rows)", jax.jit(
         lambda qq: table_join_payload(twords, tn, qq, ext_pay, payload_bits=6)), q)
+    LK._USE_MERGE_JOIN = True
+    timed("join NEW (query sort + merge)", jax.jit(
+        lambda qq: table_join_payload(twords, tn, qq, ext_pay, payload_bits=6)), q)
+    LK._USE_MERGE_JOIN = None
+
+    # sort variants on the record lanes
+    timed("record sort num_keys=1 (lane0 only)", jax.jit(
+        lambda a: jax.lax.sort(a, num_keys=1, is_stable=False)), flat)
+    both = tuple(jnp.concatenate([x, x ^ jnp.uint32(0x55555550)]) for x in flat)
+    timed(f"record sort 2N rows (N={2*N})", jax.jit(
+        lambda a: jax.lax.sort(a, num_keys=weff, is_stable=False)), both)
+
+    # pallas merge throughput at join scale (3 lanes)
+    from mhm2_proxy_tpu.ops.pallas_sort import merge_sorted_lanes
+
+    M = 1 << 23
+    a_lanes = (jnp.sort(jnp.asarray(rng.integers(0, 1 << 32, M, dtype=np.uint64).astype(np.uint32))),)
+    a_lanes = a_lanes + (jnp.zeros((M,), jnp.uint32), jnp.zeros((M,), jnp.uint32))
+    b_lanes = (jnp.sort(jnp.asarray(rng.integers(0, 1 << 32, M, dtype=np.uint64).astype(np.uint32))),)
+    b_lanes = b_lanes + (jnp.zeros((M,), jnp.uint32), jnp.zeros((M,), jnp.uint32))
+    timed(f"pallas merge 2x{M} rows 3 lanes", jax.jit(
+        lambda a, b: merge_sorted_lanes(a, b, kw=1)), a_lanes, b_lanes)
 
 
 if __name__ == "__main__":
