@@ -44,12 +44,18 @@ class FinalTable:
     n: jnp.ndarray  # scalar int32 number of valid rows
 
     def dump_kmers(self, fname: str):
-        """Write 'KMER count L R' lines gzipped (reference kmer_dht.cpp:238-266)."""
+        """Write 'KMER count L R' lines gzipped (reference kmer_dht.cpp:238-266).
+
+        Rows are already in k-mer string order (lexicographic packed words ==
+        lexicographic bases); rendering is fully vectorized numpy."""
         import gzip
 
-        with gzip.open(fname, "wt") as f:
-            for km, (c, l, r) in sorted(self.to_host_dict().items()):
-                f.write(f"{km} {c} {l} {r}\n")
+        n = int(self.n)
+        with gzip.open(fname, "wb") as f:
+            f.write(render_kmer_dump(
+                np.asarray(self.words[:n]), np.asarray(self.count[:n]),
+                np.asarray(self.left[:n]), np.asarray(self.right[:n]), self.k,
+            ))
 
     def to_host_dict(self) -> dict[str, tuple[int, str, str]]:
         """Materialize as {kmer_str: (count, left_char, right_char)}."""
@@ -65,6 +71,49 @@ class FinalTable:
             km: (int(c), EXT_CALL_CHARS[l], EXT_CALL_CHARS[r])
             for km, c, l, r in zip(kmers, cnt, left, right)
         }
+
+
+def render_kmer_dump(words, count, left, right, k: int) -> bytes:
+    """Vectorized 'KMER count L R\\n' rendering (kmer_dht.cpp:243-266 format).
+
+    Per-row Python at arctic scale (~tens of millions of rows) takes minutes;
+    this renders the whole table with numpy ragged scatters in seconds.
+    """
+    from ..constants import EXT_CALL_CHARS
+
+    n = len(count)
+    if n == 0:
+        return b""
+    chars = bk.decode_words_ascii(words, k)  # (n, k) ascii
+    cnt = np.asarray(count, np.int64)
+    ext_lut = np.frombuffer(EXT_CALL_CHARS.encode()[:8].ljust(8, b"?"), np.uint8)
+    thresholds = 10 ** np.arange(1, 10, dtype=np.int64)
+    ndig = 1 + (cnt[:, None] >= thresholds[None, :]).sum(1)
+    D = int(ndig.max())
+    pow10 = (10 ** np.arange(D - 1, -1, -1)).astype(np.int64)
+    digits = ((cnt[:, None] // pow10) % 10 + ord("0")).astype(np.uint8)
+
+    seg = k + 1 + ndig + 5  # KMER ' ' digits ' ' L ' ' R '\n'
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(seg, out=starts[1:])
+    out = np.empty(int(starts[-1]), np.uint8)
+    rs = starts[:-1]
+    kcols = rs[:, None] + np.arange(k)
+    out[kcols] = chars
+    out[rs + k] = ord(" ")
+    # digits: right-aligned in D, keep the last ndig
+    total_d = int(ndig.sum())
+    dt = np.repeat(rs + k + 1, ndig) + (
+        np.arange(total_d) - np.repeat(np.concatenate([[0], np.cumsum(ndig)[:-1]]), ndig)
+    )
+    out[dt] = digits[np.arange(D) >= (D - ndig)[:, None]]
+    base = rs + k + 1 + ndig
+    out[base] = ord(" ")
+    out[base + 1] = ext_lut[np.minimum(np.asarray(left), 7)]
+    out[base + 2] = ord(" ")
+    out[base + 3] = ext_lut[np.minimum(np.asarray(right), 7)]
+    out[base + 4] = ord("\n")
+    return out.tobytes()
 
 
 class KmerCountStore:

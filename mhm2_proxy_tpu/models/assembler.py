@@ -348,12 +348,22 @@ class Assembler:
             if cfg.n_shards > 0:
                 import gzip
 
-                with gzip.open(fname, "wt") as f:
-                    rows = {}
-                    for ft in table.shard_tables():
-                        rows.update(ft.to_host_dict())
-                    for km, (c, l, r) in sorted(rows.items()):
-                        f.write(f"{km} {c} {l} {r}\n")
+                from ..kcount.kmer_store import render_kmer_dump
+
+                parts = [
+                    (np.asarray(ft.words[: int(ft.n)]), np.asarray(ft.count[: int(ft.n)]),
+                     np.asarray(ft.left[: int(ft.n)]), np.asarray(ft.right[: int(ft.n)]))
+                    for ft in table.shard_tables()
+                ]
+                w = np.concatenate([p[0] for p in parts])
+                order = np.lexsort(tuple(w[:, i] for i in range(w.shape[1] - 1, -1, -1)))
+                with gzip.open(fname, "wb") as f:
+                    f.write(render_kmer_dump(
+                        w[order],
+                        np.concatenate([p[1] for p in parts])[order],
+                        np.concatenate([p[2] for p in parts])[order],
+                        np.concatenate([p[3] for p in parts])[order], k,
+                    ))
             else:
                 table.dump_kmers(fname)
         t1 = time.time()

@@ -310,16 +310,20 @@ def strings_to_words(kmers: list[str], k: int) -> np.ndarray:
     return out
 
 
+def decode_words_ascii(words: np.ndarray, k: int) -> np.ndarray:
+    """(N, W) packed words -> (N, k) uint8 ASCII bases, vectorized numpy
+    (no per-row Python: --dump-kmers at arctic scale renders millions)."""
+    words = np.asarray(words, np.uint32).reshape(-1, np.asarray(words).shape[-1])
+    i = np.arange(k)
+    w = i // 16
+    shift = (2 * (15 - (i % 16))).astype(np.uint32)
+    codes = (words[:, w] >> shift[None, :]) & 3
+    return np.frombuffer(b"ACGT", np.uint8)[codes]
+
+
 def words_to_strings(words: np.ndarray, k: int) -> list[str]:
-    words = np.asarray(words, np.uint32)
-    out = []
-    for row in words.reshape(-1, words.shape[-1]):
-        s = []
-        for i in range(k):
-            w, fld = i // 16, i % 16
-            s.append("ACGT"[(int(row[w]) >> (2 * (15 - fld))) & 3])
-        out.append("".join(s))
-    return out
+    chars = decode_words_ascii(words, k)
+    return [row.tobytes().decode() for row in chars]
 
 
 @partial(jax.jit, static_argnames=("k",))

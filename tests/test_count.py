@@ -163,3 +163,22 @@ def test_dmin_integer_form_matches_reference_double():
     ours = np.maximum((c + 9) // 10 - 1, 0)
     ref = np.maximum(ref, 0)
     assert (ref == ours).all()
+
+
+def test_render_kmer_dump_matches_naive(rng):
+    from mhm2_proxy_tpu.kcount.kmer_store import render_kmer_dump
+    from mhm2_proxy_tpu.ops.bitkmer import words_to_strings
+    from mhm2_proxy_tpu.constants import EXT_CALL_CHARS
+
+    k, W, n = 21, 2, 300
+    words = rng.integers(0, 1 << 32, (n, W), dtype=np.uint64).astype(np.uint32)
+    cnt = rng.integers(1, 60000, n).astype(np.int32)
+    left = rng.integers(0, 6, n).astype(np.uint8)
+    right = rng.integers(0, 6, n).astype(np.uint8)
+    got = render_kmer_dump(words, cnt, left, right, k).decode()
+    kmers = words_to_strings(words, k)
+    exp = "".join(
+        f"{km} {c} {EXT_CALL_CHARS[l]} {EXT_CALL_CHARS[r]}\n"
+        for km, c, l, r in zip(kmers, cnt, left, right)
+    )
+    assert got == exp
