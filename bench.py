@@ -43,11 +43,74 @@ def fence(tree):
         jax.device_get(leaves)
 
 
+def compile_service_ok(timeout_s: int = 240) -> bool:
+    """Probe whether the TPU can compile a NOVEL program right now.
+
+    The axon terminal can enter a state where previously-cached executables
+    still run but fresh compiles hang forever (observed mid-round-3 after a
+    server-side libtpu roll: control channel answers, remote_compile never
+    returns). A hung compile inside the bench would hang the whole recording,
+    so probe in a subprocess with a hard timeout and degrade gracefully."""
+    import os
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache_bench')\n"
+        f"y = jax.jit(lambda a: a * 3 + {int(time.time())})(jnp.zeros((16,), jnp.uint32))\n"
+        "print(int(jax.device_get(y)[0]))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, env=dict(os.environ),
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _start_watchdog(seconds: int = 2400):
+    """Last-resort guard: if the bench wedges on a hung device fetch, emit a
+    degraded record instead of nothing and exit hard."""
+    import os
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "kmers_per_sec_full_round_per_chip",
+                    "value": 0,
+                    "unit": "kmers/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"bench watchdog fired after {seconds}s "
+                                        "(TPU fetch wedged)"},
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    watchdog = _start_watchdog()
+    can_compile = compile_service_ok()
+    if not can_compile:
+        # stick to program shapes the persistent cache already holds from the
+        # last healthy round: the pre-merge-join edge build, no multi-k
+        from mhm2_proxy_tpu.ops import lookup as _lookup
+
+        _lookup._USE_MERGE_JOIN = False
     import jax.numpy as jnp
     from mhm2_proxy_tpu.kcount import KmerCountStore
     from mhm2_proxy_tpu.dbjg.traverse import build_edges, fit_table_rows
@@ -147,7 +210,7 @@ def main():
     # word path has a real-chip number. Warmup + best-of-2 per k.
     multi_k = {}
     cb0, qb0, lb0 = blocks[0]
-    for kx in (21, 33, 55, 77, 99):
+    for kx in (21, 33, 55, 77, 99) if can_compile else ():
         kmers_kx = B * (L - kx - 1)
 
         def round_k():
@@ -183,6 +246,13 @@ def main():
         "multi_k_single_block": multi_k,
         "fencing": "device_get per stage (block_until_ready is a no-op via tunnel)",
     }
+    if not can_compile:
+        detail["degraded"] = (
+            "TPU compile service unavailable (fresh compiles hang; cached "
+            "executables run) — measured cached pre-merge-join paths only, "
+            "multi-k skipped"
+        )
+    watchdog.cancel()
     print(
         json.dumps(
             {
