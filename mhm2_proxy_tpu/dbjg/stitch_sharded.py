@@ -160,8 +160,14 @@ def _stitch_states_fn(mesh, S: int, T: int, k: int, local_rounds: int = 4):
         mini, _, i_min, _ = jax.lax.while_loop(
             min_cond, min_step, (mini0, nx20, I32(0), jnp.bool_(True))
         )
-        leader_state = 2 * mini + 1
-        cut = in_cycle & (succ >= 0) & (succ == leader_state)
+        # cut BOTH direction-cycles at the leader node (the state preceding
+        # (mini, 1) in one direction and (mini, 0) in the mirror): leaving the
+        # mirror cycle uncut kept it spinning, pinning the post-cut doubling
+        # at the static round bound; emission picks the port-1 start only, so
+        # each cycle still yields exactly one contig
+        cut = in_cycle & (succ >= 0) & (
+            (succ == 2 * mini + 1) | (succ == 2 * mini)
+        )
         succ2 = jnp.where(cut, -1, succ)
 
         nxt2, d2, term2, i2 = doubling(succ2)
@@ -183,7 +189,12 @@ def _stitch_states_fn(mesh, S: int, T: int, k: int, local_rounds: int = 4):
 
         is_start = state_valid & ~still_cyc & ~has_pred
         was_cycle_start = in_cycle & is_start
-        emit = is_start & (was_cycle_start | (own < (nxt2 ^ 1)))
+        # cycles: only the (mini, port 1) start emits (the mirror start
+        # (mini, port 0) is suppressed — both directions are now cut)
+        emit = is_start & (
+            (was_cycle_start & ((own & 1) == 1))
+            | (~was_cycle_start & (own < (nxt2 ^ 1)))
+        )
         plen = d2 + 1
 
         # global path ids: exclusive scan over per-shard emit counts

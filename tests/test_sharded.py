@@ -247,3 +247,39 @@ def test_sharded_raw_records_path(rng, mesh):
     for ft in table.shard_tables():
         got.update(ft.to_host_dict())
     assert got == count_kmers_oracle(reads, k)
+
+
+def test_sharded_stitch_long_paths_and_cycle(rng, mesh):
+    """Stress the locality-advanced doubling: paths far longer than the
+    local-advance window plus a cycle, vs the single-shard stitcher; the
+    executed collective rounds must beat the static bound."""
+    from mhm2_proxy_tpu.dbjg import traverse_debruijn_graph, traverse_debruijn_graph_sharded
+
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=2400))
+    circle = "".join(rng.choice(list("ACGT"), size=260))
+    reads = []
+    for _ in range(420):
+        s = int(rng.integers(0, len(genome) - 64))
+        reads.append((genome[s : s + 64], chr(33 + 38) * 64))
+    ring = circle + circle[: k + 40]  # wraps: every kmer has both neighbors
+    for s in range(0, len(circle), 24):
+        reads.append((ring[s : s + 64], chr(33 + 38) * 64))
+        reads.append((ring[s : s + 64], chr(33 + 38) * 64))
+    B = 1024
+    codes, qual_ok, lens = reads_to_block(reads, B=B, L=64)
+    counter = ShardedCounter(k, mesh, bucket_cap=65536)
+    counter.add_reads_block(codes, qual_ok, lens)
+    table = counter.finalize()
+    stats = {}
+    got = traverse_debruijn_graph_sharded(table, k, stats=stats)
+
+    store = KmerCountStore(k)
+    store.add_reads_block(codes, qual_ok, lens)
+    exp = traverse_debruijn_graph(store.finalize(), k)
+
+    norm = lambda cs: sorted((s, round(d, 9)) for s, d in cs)
+    assert norm(got) == norm(exp)
+    sr = stats["stitch_rounds"]
+    assert sr["doubling"] <= sr["static_bound"]
+    assert sr["post_cut"] < sr["static_bound"]
