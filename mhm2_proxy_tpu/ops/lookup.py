@@ -37,6 +37,12 @@ def _lex_leq_rows(a, b):
 _USE_MERGE_JOIN = None
 
 
+def _compact_tile() -> int:
+    from .pallas_compact import TILE
+
+    return TILE
+
+
 def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
                payload_bits: int = 32):
     """Shared sort-join core; payload is an optional (T,) uint32 lane that
@@ -92,6 +98,7 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         a_lanes = tuple(table_words[:, w] for w in range(W)) + (tsrc,)
         # pads route to dest Q (< T+Q sentinel), past the Q real answers
         out = merge_sorted_lanes(a_lanes, b_lanes, kw=W, interpret=interp)
+        qp = Q + pad  # static query+pad row count (for the back-route compact)
     else:
         words = jnp.concatenate([table_words, query_words])
         if fused:
@@ -115,6 +122,7 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         out = jax.lax.sort(
             tuple(words[:, w] for w in range(W)) + lanes, num_keys=W, is_stable=True
         )
+        qp = None
     sw = jnp.stack(out[:W], axis=-1)
     if fused:
         sq = ((out[W] >> jnp.uint32(25)) & jnp.uint32(1)).astype(bool)
@@ -155,9 +163,25 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         s *= 2
     # route answers back to query order with ONE stable 1-key sort by
     # destination (query source ids are unique, table rows sink to the tail)
-    # instead of two scatters
+    # instead of two scatters. On the merge path the query-row count is
+    # STATIC (Q + pad — every query and pad row carries the query flag), so
+    # an O(N) Pallas compaction first drops the table rows and the dest sort
+    # runs over ~2/3 fewer rows.
     dest = jnp.where(sq, ssrc, jnp.int32(T + Q))
-    back = jax.lax.sort((dest, prop), num_keys=1, is_stable=True)
+    if qp is not None and dest.shape[0] % _compact_tile() == 0 and prop.dtype == jnp.uint32:
+        from .pallas_compact import compact_classes
+
+        flags = jnp.where(sq, 0, 1).astype(jnp.int32)
+        ((lanes, _n),) = compact_classes(
+            (dest.astype(jnp.uint32), prop), flags, 2, emit=(0,),
+            interpret=jax.default_backend() != "tpu",
+        )
+        back = jax.lax.sort(
+            (lanes[0][:qp].astype(jnp.int32), lanes[1][:qp]),
+            num_keys=1, is_stable=True,
+        )
+    else:
+        back = jax.lax.sort((dest, prop), num_keys=1, is_stable=True)
     ans = back[1][:Q]
     if payload is None:
         found = ans >= 0

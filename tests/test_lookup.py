@@ -56,3 +56,28 @@ def test_merge_join_equals_concat_join(rng, Q):
     f = np.asarray(f1)
     assert f[: Q // 2].all()
     assert not f[-8:].any()
+
+
+def test_merge_join_back_route_compact_path(rng):
+    """Large-enough sizes route through the Pallas back-route compaction
+    (TILE-aligned merged length); answers must match the concat join."""
+    T, Q = 16384, 16000  # m = 32768 = one compaction tile
+    words, n, keys = _mk_table(rng, T, n_valid=T - 100)
+    payload = jnp.asarray(rng.integers(0, 64, T, dtype=np.uint32))
+    hit = keys[rng.integers(0, len(keys), Q // 2)]
+    miss = rng.integers(0, 1 << 42, Q - Q // 2, dtype=np.uint64)
+    qk = np.concatenate([hit, miss])
+    qw = jnp.asarray(np.stack(
+        [(qk >> 10).astype(np.uint32), ((qk & 0x3FF) << 22).astype(np.uint32)],
+        axis=-1,
+    ))
+    try:
+        lookup._USE_MERGE_JOIN = False
+        i0, f0, p0 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+        lookup._USE_MERGE_JOIN = True
+        i1, f1, p1 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+    finally:
+        lookup._USE_MERGE_JOIN = None
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
