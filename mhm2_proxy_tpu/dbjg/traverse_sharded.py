@@ -132,7 +132,13 @@ def traverse_debruijn_graph_sharded(table: ShardedTable, k: int, stats: dict | N
 
     Note: contigs may differ from the single-shard path only in cycle break
     points (cycles break at the minimum *global node id*, which orders kmers
-    by (owner shard, kmer) instead of globally by kmer).
+    by (owner shard, kmer) instead of globally by kmer). Revcomp-palindromic
+    cycles (an inverted-repeat loop traversing every node in both
+    orientations) emit the segment up to re-entering the leader node; the
+    single-shard walker stops at its first node re-visit instead — both are
+    half-traversals with different split points (the reference's first-
+    writer-wins claims are nondeterministic on such loops too,
+    dbjg_traversal.cpp:204-207).
     """
     edges, term_stats = build_edges_sharded(table, k)
     if stats is not None:
