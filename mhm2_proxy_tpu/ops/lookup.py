@@ -59,9 +59,10 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     rows are comparator-sorted and the two sorted runs meet in the Pallas
     bitonic-merge network (ops/pallas_sort.py, ~2.4x lax.sort on the merge
     task) — the join's dominant sort shrinks from (T+Q) to Q rows. Pad rows
-    (to the merge's pow2 total) carry sentinel keys and a query-flagged
-    source id of Q, routing them harmlessly past the Q real answers in the
-    back sort."""
+    (to the merge's pow2 total) carry sentinel keys and a TABLE-flagged
+    out-of-range source id, so the back-route compaction drops them with
+    the table rows and the dest sort runs over exactly Q rows (the pad
+    rows would otherwise inflate it ~1.5x at the de Bruijn edge shapes)."""
     T = table_words.shape[0]
     Q = query_words.shape[0]
     W = table_words.shape[1]
@@ -90,15 +91,17 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         pad = m - total
         b_lanes = tuple(qs)
         if pad:
-            padfill = [jnp.uint32(0xFFFFFFFF)] * W + [jnp.uint32((1 << 25) | Q)]
+            # src = 0x01FFFFFF: query flag (bit 25) CLEAR so the back-route
+            # compaction drops pads with the table rows, idx 0x1FFFFFF >=
+            # n_valid so a pad is never a found answer in the propagation
+            padfill = [jnp.uint32(0xFFFFFFFF)] * W + [jnp.uint32(0x01FFFFFF)]
             b_lanes = tuple(
                 jnp.concatenate([x, jnp.full((pad,), padfill[i], jnp.uint32)])
                 for i, x in enumerate(b_lanes)
             )
         a_lanes = tuple(table_words[:, w] for w in range(W)) + (tsrc,)
-        # pads route to dest Q (< T+Q sentinel), past the Q real answers
         out = merge_sorted_lanes(a_lanes, b_lanes, kw=W, interpret=interp)
-        qp = Q + pad  # static query+pad row count (for the back-route compact)
+        qp = Q  # static query row count (for the back-route compact)
     else:
         words = jnp.concatenate([table_words, query_words])
         if fused:
