@@ -138,16 +138,23 @@ def main():
     fence(blocks)
     kmers_total = n_blocks * B * (L - k - 1)
 
-    def run_round():
+    def run_round(staged: bool):
+        """One full round. staged=True fences every stage (per-stage times,
+        ~3 tunnel RTTs of overhead); staged=False fences ONCE at the end —
+        the production flow, where stages chain server-side and the only
+        interior host sync is the table-occupancy fetch fit_table_rows
+        needs for its trim shapes."""
         times = {}
         store = KmerCountStore(k)
         t0 = time.perf_counter()
         for cb, qb, lb in blocks:
             store.add_reads_block(cb, qb, lb)
-        fence(store.runs)
+        if staged:
+            fence(store.raw_runs or store.runs)
         t1 = time.perf_counter()
         table = store.finalize()
-        fence((table.words, table.count))
+        if staged:
+            fence((table.words, table.count))
         t2 = time.perf_counter()
         tbl = fit_table_rows(table)
         edges = build_edges(tbl.words, tbl.count, tbl.left, tbl.right, tbl.n, k)
@@ -160,12 +167,17 @@ def main():
         return table, times
 
     # warmup compiles every shape of the identical timed pass
-    table, _ = run_round()
+    table, _ = run_round(staged=True)
     reps = []
     for _ in range(3):
-        table, times = run_round()
+        table, times = run_round(staged=False)
         reps.append(times)
+    staged_reps = []
+    for _ in range(2):
+        table, times = run_round(staged=True)
+        staged_reps.append(times)
     best = min(reps, key=lambda t: t["total_s"])
+    best_staged = min(staged_reps, key=lambda t: t["total_s"])
     value = kmers_total / best["total_s"]
 
     # steady-state aggregate-only microbench (round-1 continuity metric):
@@ -239,12 +251,17 @@ def main():
         "k": k,
         "kmers_per_round": kmers_total,
         "table_kmers": int(np.asarray(table.n)),
-        **{kk: round(v, 4) for kk, v in best.items()},
+        "total_s": round(best["total_s"], 4),
         "round_total_s_all_reps": [round(t["total_s"], 4) for t in reps],
+        "staged_breakdown": {kk: round(v, 4) for kk, v in best_staged.items()},
         "aggregate_only_kmers_per_sec": round(statistics.median(micro), 1),
         "aggregate_only_spread": [round(min(micro), 1), round(max(micro), 1)],
         "multi_k_single_block": multi_k,
-        "fencing": "device_get per stage (block_until_ready is a no-op via tunnel)",
+        "fencing": (
+            "headline: ONE device_get at round end (production flow; stages "
+            "chain server-side); staged_breakdown from a separate per-stage-"
+            "fenced run (block_until_ready is a no-op via tunnel)"
+        ),
     }
     if not can_compile:
         detail["degraded"] = (

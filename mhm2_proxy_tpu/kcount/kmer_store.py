@@ -126,12 +126,27 @@ class KmerCountStore:
     """
 
     def __init__(self, k: int, dmin_thres: int = 2, n_shards: int = 1,
-                 compact_singles: bool = True):
+                 compact_singles: bool = True, raw_lsm: bool | None = None,
+                 raw_budget_bytes: int = 2 << 30):
         self.k = k
         self.m = minimizer_len_for_k(k)
         self.dmin_thres = dmin_thres
         self.n_shards = n_shards
         self.compact_singles = compact_singles
+        # deferred-dedup mode (ops.count raw-run section): blocks push ONE
+        # sorted packed run each (no scan/split/occupancy sync); dedup runs
+        # once at finalize over the merged run. Auto: on-device (TPU) where
+        # the Pallas bitonic merge makes late dedup nearly free, whenever the
+        # 7-bit payload fits the key lanes' free bits (k=21/33/55/99; k=63/77
+        # keep the per-block dedup path).
+        if raw_lsm is None:
+            raw_lsm = (
+                jax.default_backend() == "tpu"
+                and C.payload_fits_in_keys(k, words32_for_k(k))
+            )
+        self.raw_lsm = raw_lsm and C.payload_fits_in_keys(k, words32_for_k(k))
+        self.raw_budget_bytes = raw_budget_bytes
+        self.raw_runs: list[tuple] = []  # sorted packed lanes per block
         # plain: (words, count, l4, r4, n_unique)
         # split: (m_words, m_count, m_l4, m_r4, n_m, s_words, s_ext, n_s)
         self.runs: list[tuple] = []
@@ -151,6 +166,14 @@ class KmerCountStore:
         to occupancy, so merges never sort capacity padding (untrimmed
         merges measured ~2x slower end-to-end at 65k-read blocks).
         """
+        if self.raw_lsm:
+            run = C.block_to_raw_run(
+                jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), self.k
+            )
+            self.raw_runs.append(run)
+            if self._raw_bytes() > self.raw_budget_bytes:
+                self._collapse_raw()
+            return
         if self.compact_singles:
             run, ns = C.block_to_split_run(
                 jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens),
@@ -218,10 +241,28 @@ class KmerCountStore:
             a = self.runs.pop()
             self.runs.append(self._merge_split(a, b))
 
+    def _raw_bytes(self) -> int:
+        return sum(sum(x.nbytes for x in run) for run in self.raw_runs)
+
+    def _collapse_raw(self):
+        """Fold the outstanding raw runs into ONE deduped split run pushed to
+        the classic LSM (the raw byte budget's overflow valve: past it, the
+        singleton-filtered deduped format is the memory-safe representation,
+        reference GQF sizing rationale kmer_dht.cpp:151)."""
+        if not self.raw_runs:
+            return
+        merged = C.merge_raw_runs(self.raw_runs)
+        self.raw_runs = []
+        run = C.split_from_sorted_packed(merged, self.k, words32_for_k(self.k))
+        ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
+        self._push_split_run(self._trim(run, int(ns[0]), int(ns[1])))
+
     def resident_run_bytes(self) -> int:
         """Device bytes held by the read-pass runs (memory observability)."""
         self._flush_pending()
-        return sum(sum(x.nbytes for x in run if hasattr(x, "nbytes")) for run in self.runs)
+        return self._raw_bytes() + sum(
+            sum(x.nbytes for x in run if hasattr(x, "nbytes")) for run in self.runs
+        )
 
     # -- contig pass (rounds >= 2) ----------------------------------------
 
@@ -268,6 +309,28 @@ class KmerCountStore:
 
     def finalize(self) -> FinalTable:
         c = self._merged_ctgs()
+        if self.raw_runs:
+            if self.runs or self._pending is not None:
+                # mixed (budget collapse happened): fold the raw remainder
+                # into the split LSM and fall through to the classic path
+                self._collapse_raw()
+            else:
+                merged = C.merge_raw_runs(self.raw_runs)
+                self.raw_runs = []
+                W = words32_for_k(self.k)
+                if c is None:
+                    out = C.final_from_sorted_packed(
+                        merged, self.k, W, dmin_thres=self.dmin_thres, purge=True
+                    )
+                    return FinalTable(self.k, *out)
+                agg = C.final_from_sorted_packed(
+                    merged, self.k, W, dmin_thres=self.dmin_thres, purge=False
+                )
+                agg = _apply_ctg_rules(*agg, *c, self.dmin_thres)
+                words, cnt, left, right, n = C.finalize_table(
+                    *agg, dmin_thres=self.dmin_thres
+                )
+                return FinalTable(self.k, words, cnt, left, right, n)
         if self.compact_singles:
             # fused path: ONE dispatch folds every outstanding split run into
             # the final table (see ops.count.final_fold_runs) — the unfused

@@ -752,6 +752,17 @@ def aggregate_split_lanes_packed(word_lanes, payload, k: int):
     sentinels), keeping the output format identical to the unpacked path.
     """
     W = len(word_lanes)
+    return aggregate_split_packed(
+        pack_payload_into_lanes(word_lanes, payload, k), k, W
+    )
+
+
+def pack_payload_into_lanes(word_lanes, payload, k: int):
+    """Fold the 7-bit record payload (_pack_cnt_ext layout, count in {0, 1})
+    into the last non-zero key lane's free low bits; payload == 0 rows become
+    full all-ones sentinels. Returns the ceil(2k/32) packed lanes (see
+    aggregate_split_lanes_packed for the layout argument)."""
+    W = len(word_lanes)
     weff = -(-2 * k // 32)
     free = 32 * weff - 2 * k
     assert weff <= W and free >= 7, (k, W)
@@ -766,9 +777,7 @@ def aggregate_split_lanes_packed(word_lanes, payload, k: int):
     packed = jnp.where(
         payload == 0, U32(0xFFFFFFFF), (last - (last & lowmask)) | pay7
     )
-    return aggregate_split_packed(
-        tuple(word_lanes[: weff - 1]) + (packed,), k, W
-    )
+    return tuple(word_lanes[: weff - 1]) + (packed,)
 
 
 @partial(jax.jit, static_argnames=("k", "W"))
@@ -780,10 +789,19 @@ def aggregate_split_packed(packed_lanes, k: int, W: int):
     weff = len(packed_lanes)
     free = 32 * weff - 2 * k
     assert weff == -(-2 * k // 32) and free >= 7 and weff <= W, (k, W, weff)
+    out = jax.lax.sort(packed_lanes, num_keys=weff, is_stable=False)
+    return split_from_sorted_packed(out, k, W)
+
+
+@partial(jax.jit, static_argnames=("k", "W"))
+def split_from_sorted_packed(out, k: int, W: int):
+    """aggregate_split_packed tail for ALREADY-SORTED packed lanes (e.g. a
+    raw-LSM merge result being collapsed): scan + multi/single split."""
+    weff = len(out)
+    free = 32 * weff - 2 * k
     keymask_int = 0xFFFFFFFF ^ ((1 << free) - 1)
     keymask = U32(keymask_int)
     lowmask = U32((1 << free) - 1)
-    out = jax.lax.sort(packed_lanes, num_keys=weff, is_stable=False)
     slast = out[-1]
     # top-bits AND via subtraction of the low bits: XLA:TPU miscompiles the
     # direct form at production shapes (see bitkmer.revcomp_words note)
@@ -894,6 +912,151 @@ def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
             rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"]
         )
     return out, jnp.stack([out[4], out[7]])
+
+
+# ---------------------------------------------------------------------------
+# deferred-dedup (raw-run) LSM path
+# ---------------------------------------------------------------------------
+#
+# The reference's aggregating stores batch updates and the hash table
+# accumulates incrementally (kcount_cpu.cpp:337-354). The sorted-array
+# analog does NOT need per-block dedup: a block's only obligation to the LSM
+# is sortedness. The Pallas bitonic merge runs near the HBM roofline
+# (~6 ms for 16.8M 3-lane rows on v5e) while the per-block scan + split
+# compaction cost ~65 ms/block, so deferring ALL dedup to one finalize-time
+# scan over the merged run is a large net win whenever the raw records fit
+# device memory (they do below ~250M records/lane-pair; the store falls
+# back to collapsing into the deduped LSM past a byte budget). Count/ext
+# sums are identical either way: per-block sums clamp only at the shared
+# u16 ceiling, and clamped partial sums re-clamped at merge time equal the
+# one-shot clamped total (both saturate at the ceiling together).
+
+
+@partial(jax.jit, static_argnames=("k",))
+def block_to_raw_run(codes, qual_ok, lens, k: int):
+    """Read block -> ONE sorted packed run (weff uint32 lanes, 7-bit payload
+    embedded in the last lane's free bits, sentinels all-ones at the tail).
+
+    Requires payload_fits_in_keys(k, words32_for_k(k)). No scan, split, or
+    occupancy fetch: the push is one sort and the block's host sync is zero.
+    """
+    from ..constants import words32_for_k
+
+    W = words32_for_k(k)
+    assert payload_fits_in_keys(k, W), k
+    if jax.default_backend() == "tpu":
+        from .pallas_extract import extract_packed_lanes
+
+        lanes = extract_packed_lanes(codes, qual_ok, lens, k)
+        packed = tuple(x.reshape(-1) for x in lanes)
+    else:
+        from ..constants import minimizer_len_for_k
+
+        rec = read_kmer_records(codes, qual_ok, lens, k, minimizer_len_for_k(k))
+        words = _sentinelize(rec["words"], rec["valid"])
+        pay = jnp.where(
+            rec["valid"],
+            _pack_cnt_ext(rec["count"].astype(jnp.int32), rec["left"], rec["right"]),
+            U32(0),
+        )
+        weff = -(-2 * k // 32)
+        packed = pack_payload_into_lanes(
+            tuple(words[:, i] for i in range(weff)), pay, k
+        )
+    return jax.lax.sort(packed, num_keys=len(packed), is_stable=False)
+
+
+def merge_raw_runs(runs):
+    """Balanced pairwise merge tree over sorted packed runs -> one sorted
+    tuple of lanes. TPU: Pallas bitonic merges (mid-padded to pow2, pads
+    sliced back off); elsewhere one lax.sort per pair."""
+    runs = [tuple(r) for r in runs]
+    on_tpu = jax.default_backend() == "tpu"
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            a, b = runs[i], runs[i + 1]
+            if on_tpu:
+                from .pallas_sort import merge_sorted_lanes_padded
+
+                nxt.append(merge_sorted_lanes_padded(a, b, kw=len(a)))
+            else:
+                cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
+                nxt.append(jax.lax.sort(cat, num_keys=len(cat), is_stable=False))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return runs[0]
+
+
+@partial(jax.jit, static_argnames=("k", "W", "dmin_thres", "purge"))
+def final_from_sorted_packed(sorted_lanes, k: int, W: int, dmin_thres: int = 2,
+                             purge: bool = True):
+    """ONE scan + compaction from a merged sorted packed run straight to the
+    final table (purge=True: FinalTable arrays applying the reference purge
+    rules kcount_cpu.cpp:497-517) or the unique aggregate (purge=False:
+    (words, count, l4, r4, n_unique) for the ctg-rules path)."""
+    weff = len(sorted_lanes)
+    free = 32 * weff - 2 * k
+    assert weff == -(-2 * k // 32) and free >= 7 and weff <= W, (k, W, weff)
+    keymask_int = 0xFFFFFFFF ^ ((1 << free) - 1)
+    keymask = U32(keymask_int)
+    lowmask = U32((1 << free) - 1)
+    slast = sorted_lanes[-1]
+    # top-bits AND via subtraction (XLA:TPU miscompile, see revcomp_words)
+    skey = slast - (slast & lowmask)
+    sent = skey == keymask
+    for x in sorted_lanes[:-1]:
+        sent = sent & (x == U32(0xFFFFFFFF))
+    clean_last = jnp.where(sent, U32(0xFFFFFFFF), skey)
+    zero_lane = jnp.where(sent, U32(0xFFFFFFFF), U32(0))
+    w = jnp.stack(
+        tuple(sorted_lanes[:-1]) + (clean_last,) + (zero_lane,) * (W - weff),
+        axis=-1,
+    )
+    N = w.shape[0]
+    if _pallas_compact_ok(N):
+        from .pallas_scan import TILE as SCAN_TILE, group_sums_scan_packed
+
+        pad = -(-N // SCAN_TILE) * SCAN_TILE - N
+        lanes_p = tuple(sorted_lanes)
+        if pad:
+            lanes_p = tuple(
+                jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, U32)])
+                for x in lanes_p
+            )
+        p = group_sums_scan_packed(lanes_p, keymask_int, MAX_KMER_COUNT)
+        p = tuple(x[:N] for x in p)
+        count = (p[0] & U32(0xFFFF)).astype(jnp.int32)
+        lo = lambda x: (x & U32(0xFFFF)).astype(jnp.int32)
+        hi = lambda x: (x >> U32(16)).astype(jnp.int32)
+        l4 = jnp.stack([lo(p[1]), hi(p[1]), lo(p[2]), hi(p[2])], axis=-1)
+        r4 = jnp.stack([lo(p[3]), hi(p[3]), lo(p[4]), hi(p[4])], axis=-1)
+        neq = jnp.any(w[1:] != w[:-1], axis=-1)
+        is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    else:
+        cnt_in = jnp.where(sent, 0, 1).astype(jnp.int32)
+        left_in = ((slast >> U32(1)) & U32(7)).astype(jnp.uint8)
+        right_in = ((slast >> U32(4)) & U32(7)).astype(jnp.uint8)
+        sums, is_last, _ = _group_sums_scan(
+            w, cnt_in, _ext_onehot(left_in, cnt_in), _ext_onehot(right_in, cnt_in)
+        )
+        count = sums[:, 0]
+        l4 = sums[:, 1:5]
+        r4 = sums[:, 5:9]
+    if not purge:
+        keep = is_last & ~sent
+        packed = _pack_sums(count, l4, r4)
+        u_words, *pays, n_unique = _compact_keep(w, keep, packed)
+        u_count, u_l4, u_r4 = _unpack_sums(*pays)
+        return u_words, u_count, u_l4, u_r4, n_unique
+    left = _get_ext_calls(l4, count, dmin_thres)
+    right = _get_ext_calls(r4, count, dmin_thres)
+    keep = is_last & ~sent & (count >= 2) & ~((left == EXT_X) & (right == EXT_X))
+    packed = _pack_cnt_ext(count, left, right)
+    w_s, pay, n_kept = _compact_keep(w, keep, (packed,))
+    cnt_s, left_s, right_s = _unpack_cnt_ext(pay)
+    return (w_s, cnt_s, left_s, right_s, n_kept)
 
 
 @partial(jax.jit, static_argnames=("dmin_thres", "purge"))

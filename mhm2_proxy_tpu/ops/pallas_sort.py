@@ -208,6 +208,33 @@ def _bitonic_network(vals, kw: int, interpret: bool):
 
 
 @partial(jax.jit, static_argnames=("kw", "interpret"))
+def merge_sorted_lanes_padded(a_lanes, b_lanes, kw: int, interpret: bool = False):
+    """merge_sorted_lanes for ARBITRARY (non-pow2) run lengths.
+
+    Sentinel pad rows (all-ones, the empty-key convention) are inserted
+    BETWEEN a and reversed(b): ascending-a then all-ones then descending-b
+    is still bitonic, so the standard network applies at the next pow2
+    size. All-ones rows sort to the tail, where exactly `pad` of the
+    trailing all-ones rows are sliced off statically (real sentinel rows
+    already sort there and are indistinguishable — the kept prefix has
+    exactly len(a)+len(b) rows with identical content either way).
+    """
+    A = a_lanes[0].shape[0]
+    B = b_lanes[0].shape[0]
+    total = A + B
+    m = 1 << max(8, (total - 1).bit_length())
+    pad = m - total
+    if pad == 0:
+        return merge_sorted_lanes(a_lanes, b_lanes, kw, interpret)
+    ones = jnp.full((pad,), 0xFFFFFFFF, U32)
+    vals = tuple(
+        jnp.concatenate([a, ones, b[::-1]]) for a, b in zip(a_lanes, b_lanes)
+    )
+    out = _bitonic_network(vals, kw, interpret)
+    return tuple(v[:total] for v in out)
+
+
+@partial(jax.jit, static_argnames=("kw", "interpret"))
 def merge_sorted_lanes(a_lanes, b_lanes, kw: int, interpret: bool = False):
     """Merge two sorted runs given as tuples of (N,) uint32 lanes.
 

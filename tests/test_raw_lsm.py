@@ -1,0 +1,137 @@
+"""Deferred-dedup (raw-run) LSM path vs the per-block-dedup path.
+
+The raw path (ops.count block_to_raw_run / merge_raw_runs /
+final_from_sorted_packed) must produce a bit-identical FinalTable: count and
+extension sums clamp only at the shared u16 ceiling, so deferring dedup to
+finalize is exact (see the raw-run section comment in ops/count.py).
+"""
+
+import numpy as np
+import pytest
+
+from mhm2_proxy_tpu.kcount import KmerCountStore
+from mhm2_proxy_tpu.ops import count as C
+
+from test_count import make_reads, reads_to_block
+
+
+def genome_reads(rng, glen, n, lo, hi, low_q_frac=0.0):
+    """Reads sampled from one random genome so k-mers recur (count >= 2
+    survivors exist; purely random reads share almost no k-mers)."""
+    g = "".join(rng.choice(list("ACGT"), size=glen))
+    reads = []
+    for _ in range(n):
+        ln = int(rng.integers(lo, hi + 1))
+        s = int(rng.integers(0, glen - ln + 1))
+        seq = g[s : s + ln]
+        quals = "".join(
+            chr(33 + (5 if rng.random() < low_q_frac else 38)) for _ in range(ln)
+        )
+        reads.append((seq, quals))
+    return reads
+
+
+def _final_dict(store):
+    t = store.finalize()
+    return t.to_host_dict()
+
+
+def _run_both(reads_blocks, k, ctg_blocks=None, raw_budget=2 << 30):
+    a = KmerCountStore(k, raw_lsm=True, raw_budget_bytes=raw_budget)
+    b = KmerCountStore(k, raw_lsm=False)
+    assert a.raw_lsm, "raw mode must engage for this k"
+    for blk in reads_blocks:
+        a.add_reads_block(*blk)
+        b.add_reads_block(*blk)
+    if ctg_blocks:
+        for cb in ctg_blocks:
+            a.add_ctgs_block(*cb)
+            b.add_ctgs_block(*cb)
+    da, db = _final_dict(a), _final_dict(b)
+    assert da == db, (
+        f"raw vs dedup mismatch: {len(da)} vs {len(db)} rows; "
+        f"diff keys: {list(set(da) ^ set(db))[:5]}; "
+        f"diff vals: {[(x, da[x], db[x]) for x in da if x in db and da[x] != db[x]][:5]}"
+    )
+    return da
+
+
+@pytest.mark.parametrize("k", [21, 33])
+def test_raw_equals_dedup_multiblock(rng, k):
+    blocks = [
+        reads_to_block(genome_reads(rng, 800, 60, k + 5, 90, low_q_frac=0.05))
+        for _ in range(3)
+    ]
+    d = _run_both(blocks, k)
+    assert len(d) > 0
+
+
+def test_raw_equals_dedup_with_duplicates(rng):
+    k = 21
+    # heavy duplication: few distinct reads repeated across blocks
+    base = make_reads(rng, 8, 40, 60)
+    blocks = [reads_to_block(base * 6) for _ in range(2)]
+    _run_both(blocks, k)
+
+
+def test_raw_budget_collapse_path(rng):
+    k = 21
+    blocks = [reads_to_block(genome_reads(rng, 600, 50, 40, 80)) for _ in range(4)]
+    # budget of 1 byte: every push collapses into the split LSM
+    da = _run_both(blocks, k, raw_budget=1)
+    ref = KmerCountStore(k, raw_lsm=False)
+    for blk in blocks:
+        ref.add_reads_block(*blk)
+    assert da == _final_dict(ref)
+
+
+def test_raw_with_ctg_pass(rng):
+    k = 21
+    blocks = [reads_to_block(genome_reads(rng, 500, 80, 40, 80))]
+    # contigs from a separate read set, with depths
+    ctg_reads = genome_reads(rng, 500, 10, 60, 100)
+    codes, _, lens = reads_to_block(ctg_reads)
+    depths = np.asarray(rng.integers(1, 30, len(ctg_reads)), np.int32)
+    _run_both(blocks, k, ctg_blocks=[(codes, lens, depths)])
+
+
+def test_raw_lsm_disabled_when_payload_does_not_fit():
+    # k=63: 2k=126 bits in weff=4 lanes leaves 2 free bits < 7
+    s = KmerCountStore(63, raw_lsm=True)
+    assert not s.raw_lsm
+
+
+@pytest.mark.parametrize("sizes", [(300, 700), (1000, 1000), (256, 256), (513, 1)])
+def test_merge_sorted_lanes_padded(rng, sizes):
+    from mhm2_proxy_tpu.ops.pallas_sort import merge_sorted_lanes_padded
+
+    A, B = sizes
+    mk = lambda n: np.sort(rng.integers(0, 1 << 32, n, dtype=np.int64).astype(np.uint32))
+    a0, b0 = mk(A), mk(B)
+    a = (a0, (a0 >> 3).astype(np.uint32))
+    b = (b0, (b0 >> 3).astype(np.uint32))
+    out = merge_sorted_lanes_padded(a, b, kw=1, interpret=True)
+    got = np.asarray(out[0])
+    want = np.sort(np.concatenate([a0, b0]))
+    assert got.shape[0] == A + B
+    np.testing.assert_array_equal(got, want)
+    # the carried lane stays paired with its key
+    np.testing.assert_array_equal(np.asarray(out[1]), want >> 3)
+
+
+def test_merge_raw_runs_tree(rng):
+    k = 21
+    blocks = [reads_to_block(make_reads(rng, 30, 40, 60)) for _ in range(5)]
+    runs = [C.block_to_raw_run(*[np.asarray(x) for x in blk], k) for blk in blocks]
+    merged = C.merge_raw_runs(runs)
+    cat = np.sort(
+        np.stack([np.concatenate([np.asarray(r[i]) for r in runs]) for i in range(len(runs[0]))], 1).view(
+            [("a", np.uint32), ("b", np.uint32)]
+        ).reshape(-1),
+        order=("a", "b"),
+    )
+    got = np.stack([np.asarray(x) for x in merged], 1).view(
+        [("a", np.uint32), ("b", np.uint32)]
+    ).reshape(-1)
+    np.testing.assert_array_equal(got["a"], cat["a"])
+    np.testing.assert_array_equal(got["b"], cat["b"])
