@@ -1002,6 +1002,45 @@ def final_from_sorted_packed(sorted_lanes, k: int, W: int, dmin_thres: int = 2,
     keymask_int = 0xFFFFFFFF ^ ((1 << free) - 1)
     keymask = U32(keymask_int)
     lowmask = U32((1 << free) - 1)
+    N = sorted_lanes[0].shape[0]
+    if _pallas_compact_ok(N):
+        # fused kernel: scan + ext calls + purge + tile-local compaction in
+        # ONE pass (ops/pallas_finalize.py), then the O(N) ragged append —
+        # replaces the scan pass + elementwise purge pass + batched tile
+        # flag sort (~51 ms alone at 36.7M rows on v5e)
+        from .pallas_compact import ragged_append
+        from .pallas_finalize import TILE as FTILE, scan_purge_compact
+
+        pad = -(-N // FTILE) * FTILE - N
+        lanes_p = tuple(sorted_lanes)
+        if pad:
+            lanes_p = tuple(
+                jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, U32)])
+                for x in lanes_p
+            )
+        comp, cnts = scan_purge_compact(
+            lanes_p, k, dmin_thres=dmin_thres, purge=purge
+        )
+        off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)]
+        ).astype(jnp.int32)
+        out = ragged_append(comp, jnp.zeros_like(cnts), off)
+        n = off[-1]
+        Np = lanes_p[0].shape[0]
+        live = jnp.arange(Np, dtype=jnp.int32) < n
+        u_words = jnp.stack(
+            tuple(jnp.where(live, x, U32(0xFFFFFFFF)) for x in out[:weff])
+            + (jnp.where(live, U32(0), U32(0xFFFFFFFF)),) * (W - weff),
+            axis=-1,
+        )
+        if purge:
+            cnt_s, left_s, right_s = _unpack_cnt_ext(
+                jnp.where(live, out[weff], 0)
+            )
+            return (u_words, cnt_s, left_s, right_s, n)
+        pays = tuple(jnp.where(live, x, 0) for x in out[weff : weff + 5])
+        u_count, u_l4, u_r4 = _unpack_sums(*pays)
+        return u_words, u_count, u_l4, u_r4, n
     slast = sorted_lanes[-1]
     # top-bits AND via subtraction (XLA:TPU miscompile, see revcomp_words)
     skey = slast - (slast & lowmask)
@@ -1014,36 +1053,15 @@ def final_from_sorted_packed(sorted_lanes, k: int, W: int, dmin_thres: int = 2,
         tuple(sorted_lanes[:-1]) + (clean_last,) + (zero_lane,) * (W - weff),
         axis=-1,
     )
-    N = w.shape[0]
-    if _pallas_compact_ok(N):
-        from .pallas_scan import TILE as SCAN_TILE, group_sums_scan_packed
-
-        pad = -(-N // SCAN_TILE) * SCAN_TILE - N
-        lanes_p = tuple(sorted_lanes)
-        if pad:
-            lanes_p = tuple(
-                jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, U32)])
-                for x in lanes_p
-            )
-        p = group_sums_scan_packed(lanes_p, keymask_int, MAX_KMER_COUNT)
-        p = tuple(x[:N] for x in p)
-        count = (p[0] & U32(0xFFFF)).astype(jnp.int32)
-        lo = lambda x: (x & U32(0xFFFF)).astype(jnp.int32)
-        hi = lambda x: (x >> U32(16)).astype(jnp.int32)
-        l4 = jnp.stack([lo(p[1]), hi(p[1]), lo(p[2]), hi(p[2])], axis=-1)
-        r4 = jnp.stack([lo(p[3]), hi(p[3]), lo(p[4]), hi(p[4])], axis=-1)
-        neq = jnp.any(w[1:] != w[:-1], axis=-1)
-        is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
-    else:
-        cnt_in = jnp.where(sent, 0, 1).astype(jnp.int32)
-        left_in = ((slast >> U32(1)) & U32(7)).astype(jnp.uint8)
-        right_in = ((slast >> U32(4)) & U32(7)).astype(jnp.uint8)
-        sums, is_last, _ = _group_sums_scan(
-            w, cnt_in, _ext_onehot(left_in, cnt_in), _ext_onehot(right_in, cnt_in)
-        )
-        count = sums[:, 0]
-        l4 = sums[:, 1:5]
-        r4 = sums[:, 5:9]
+    cnt_in = jnp.where(sent, 0, 1).astype(jnp.int32)
+    left_in = ((slast >> U32(1)) & U32(7)).astype(jnp.uint8)
+    right_in = ((slast >> U32(4)) & U32(7)).astype(jnp.uint8)
+    sums, is_last, _ = _group_sums_scan(
+        w, cnt_in, _ext_onehot(left_in, cnt_in), _ext_onehot(right_in, cnt_in)
+    )
+    count = sums[:, 0]
+    l4 = sums[:, 1:5]
+    r4 = sums[:, 5:9]
     if not purge:
         keep = is_last & ~sent
         packed = _pack_sums(count, l4, r4)
