@@ -102,6 +102,36 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         a_lanes = tuple(table_words[:, w] for w in range(W)) + (tsrc,)
         out = merge_sorted_lanes(a_lanes, b_lanes, kw=W, interpret=interp)
         qp = Q  # static query row count (for the back-route compact)
+        from .pallas_join import TILE as JTILE
+
+        if out[0].shape[0] % JTILE == 0:
+            # fused epilogue: propagation + query compaction in ONE Pallas
+            # pass (ops/pallas_join.py) instead of 5 XLA doubling rounds +
+            # the 2-phase compaction; only the dest sort remains
+            from .pallas_compact import ragged_append
+            from .pallas_join import propagate_compact
+
+            (dest, ans), cnts = propagate_compact(
+                out, n_valid, kw=W, payload_bits=payload_bits,
+                max_dup=max_dup, interpret=interp,
+            )
+            off = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)]
+            ).astype(jnp.int32)
+            routed = ragged_append(
+                (dest, ans), jnp.zeros_like(cnts), off, interpret=interp
+            )
+            back = jax.lax.sort(
+                (routed[0][:Q].astype(jnp.int32), routed[1][:Q]),
+                num_keys=1, is_stable=True,
+            )
+            ans = back[1][:Q]
+            found = ans > 0
+            idx = jnp.clip(
+                (ans >> jnp.uint32(payload_bits)).astype(jnp.int32) - 1, 0, T - 1
+            )
+            pay = ans & jnp.uint32((1 << payload_bits) - 1)
+            return idx, found, pay
     else:
         words = jnp.concatenate([table_words, query_words])
         if fused:

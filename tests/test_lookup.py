@@ -81,3 +81,30 @@ def test_merge_join_back_route_compact_path(rng):
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_merge_join_fused_epilogue_multi_tile(rng):
+    """Multi-tile merged length with heavy key duplication: equal-key runs
+    straddle the propagation kernel's tile boundaries (the carry/peek halo
+    paths of ops.pallas_join)."""
+    T, Q = 40000, 81072  # m = 131072 = 4 propagation tiles
+    words, n, keys = _mk_table(rng, T, n_valid=T - 77)
+    payload = jnp.asarray(rng.integers(0, 64, T, dtype=np.uint32))
+    # queries heavily duplicated (up to ~15 per key) so runs cross tiles
+    hit = keys[np.repeat(rng.integers(0, len(keys), Q // 8), 8)[: Q - 500]]
+    miss = rng.integers(0, 1 << 42, 500, dtype=np.uint64)
+    qk = np.concatenate([hit, miss])
+    qw = jnp.asarray(np.stack(
+        [(qk >> 10).astype(np.uint32), ((qk & 0x3FF) << 22).astype(np.uint32)],
+        axis=-1,
+    ))
+    try:
+        lookup._USE_MERGE_JOIN = False
+        i0, f0, p0 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+        lookup._USE_MERGE_JOIN = True
+        i1, f1, p1 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+    finally:
+        lookup._USE_MERGE_JOIN = None
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
