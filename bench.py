@@ -3,16 +3,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
 The headline metric is k-mers/s through the COMPLETE production round on one
-chip: record extraction (incl. minimizer shard hash) -> per-block sort +
-segment-reduce aggregation -> LSM merges -> finalize (extension calls, purge,
-compaction) -> de Bruijn reciprocal-edge build. Stages are fenced by actually
-FETCHING data: under the axon TPU tunnel jax.block_until_ready is a no-op
-(execution is async server-side; only a device_get is a real barrier), so the
-round-1 style block_until_ready fences measured dispatch, not execution. Each
-fence costs one ~10-30 ms tunnel round-trip, negligible against multi-second
-stages; the steady-state microbench instead chains its iterations inside one
-jit (data-dependent, nothing can be elided) and differences two chain lengths
-to cancel the fixed overhead.
+chip: record extraction -> per-block record sort (raw-LSM push) -> bitonic
+run merges -> fused finalize (scan + extension calls + purge + compaction)
+-> de Bruijn reciprocal-edge build. The headline run fences ONCE at the end
+(the production flow: stages chain server-side; the only interior host sync
+is the table-occupancy fetch for trim shapes); a separate per-stage-fenced
+run records the stage breakdown. Fences FETCH data: under the axon TPU
+tunnel jax.block_until_ready is a no-op (execution is async server-side;
+only a device_get is a real barrier), and each fence costs one ~25 ms
+round-trip. The steady-state microbench chains its iterations inside one
+jit (data-dependent, nothing can be elided) and differences two chain
+lengths to cancel the fixed overhead.
 
 vs_baseline is measured against 10 Mkmers/s/core, the ballpark of the
 reference's CPU backend on one core (BASELINE.md: the reference publishes no

@@ -134,17 +134,15 @@ class KmerCountStore:
         self.n_shards = n_shards
         self.compact_singles = compact_singles
         # deferred-dedup mode (ops.count raw-run section): blocks push ONE
-        # sorted packed run each (no scan/split/occupancy sync); dedup runs
-        # once at finalize over the merged run. Auto: on-device (TPU) where
-        # the Pallas bitonic merge makes late dedup nearly free, whenever the
-        # 7-bit payload fits the key lanes' free bits (k=21/33/55/99; k=63/77
-        # keep the per-block dedup path).
+        # sorted run each (no scan/split/occupancy sync); dedup runs once at
+        # finalize over the merged run. Auto on-device (TPU), where the
+        # Pallas bitonic merge makes late dedup nearly free. Layout: the
+        # 7-bit payload folds into the key lanes' free bits where it fits
+        # (k=21/33/55/99); k=63/77 carry it as a separate lane.
         if raw_lsm is None:
-            raw_lsm = (
-                jax.default_backend() == "tpu"
-                and C.payload_fits_in_keys(k, words32_for_k(k))
-            )
-        self.raw_lsm = raw_lsm and C.payload_fits_in_keys(k, words32_for_k(k))
+            raw_lsm = jax.default_backend() == "tpu"
+        self.raw_lsm = raw_lsm
+        self._raw_packed = C.payload_fits_in_keys(k, words32_for_k(k))
         self.raw_budget_bytes = raw_budget_bytes
         self.raw_runs: list[tuple] = []  # sorted packed lanes per block
         # plain: (words, count, l4, r4, n_unique)
@@ -167,7 +165,8 @@ class KmerCountStore:
         merges measured ~2x slower end-to-end at 65k-read blocks).
         """
         if self.raw_lsm:
-            run = C.block_to_raw_run(
+            fn = C.block_to_raw_run if self._raw_packed else C.block_to_raw_run_sep
+            run = fn(
                 jnp.asarray(codes), jnp.asarray(qual_ok), jnp.asarray(lens), self.k
             )
             self.raw_runs.append(run)
@@ -251,9 +250,14 @@ class KmerCountStore:
         reference GQF sizing rationale kmer_dht.cpp:151)."""
         if not self.raw_runs:
             return
-        merged = C.merge_raw_runs(self.raw_runs)
+        W = words32_for_k(self.k)
+        if self._raw_packed:
+            merged = C.merge_raw_runs(self.raw_runs)
+            run = C.split_from_sorted_packed(merged, self.k, W)
+        else:
+            merged = C.merge_raw_runs(self.raw_runs, kw=len(self.raw_runs[0]) - 1)
+            run = C.split_from_sorted_sep(merged, self.k, W)
         self.raw_runs = []
-        run = C.split_from_sorted_packed(merged, self.k, words32_for_k(self.k))
         ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
         self._push_split_run(self._trim(run, int(ns[0]), int(ns[1])))
 
@@ -315,15 +319,22 @@ class KmerCountStore:
                 # into the split LSM and fall through to the classic path
                 self._collapse_raw()
             else:
-                merged = C.merge_raw_runs(self.raw_runs)
-                self.raw_runs = []
                 W = words32_for_k(self.k)
+                if self._raw_packed:
+                    merged = C.merge_raw_runs(self.raw_runs)
+                    final_fn = C.final_from_sorted_packed
+                else:
+                    merged = C.merge_raw_runs(
+                        self.raw_runs, kw=len(self.raw_runs[0]) - 1
+                    )
+                    final_fn = C.final_from_sorted_sep
+                self.raw_runs = []
                 if c is None:
-                    out = C.final_from_sorted_packed(
+                    out = final_fn(
                         merged, self.k, W, dmin_thres=self.dmin_thres, purge=True
                     )
                     return FinalTable(self.k, *out)
-                agg = C.final_from_sorted_packed(
+                agg = final_fn(
                     merged, self.k, W, dmin_thres=self.dmin_thres, purge=False
                 )
                 agg = _apply_ctg_rules(*agg, *c, self.dmin_thres)

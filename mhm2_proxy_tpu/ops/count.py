@@ -966,11 +966,43 @@ def block_to_raw_run(codes, qual_ok, lens, k: int):
     return jax.lax.sort(packed, num_keys=len(packed), is_stable=False)
 
 
-def merge_raw_runs(runs):
-    """Balanced pairwise merge tree over sorted packed runs -> one sorted
-    tuple of lanes. TPU: Pallas bitonic merges (mid-padded to pow2, pads
-    sliced back off); elsewhere one lax.sort per pair."""
+@partial(jax.jit, static_argnames=("k",))
+def block_to_raw_run_sep(codes, qual_ok, lens, k: int):
+    """block_to_raw_run for k where the 7-bit payload does NOT fit the key
+    lanes' free bits (k=63/77): weff key lanes + ONE _pack_cnt_ext payload
+    lane (count=1 | left << 16 | right << 24; 0 on sentinel rows), sorted by
+    the key lanes (payload rides the sort)."""
+    weff = -(-2 * k // 32)
+    if jax.default_backend() == "tpu":
+        from .pallas_extract import extract_record_lanes
+
+        lanes, pay = extract_record_lanes(codes, qual_ok, lens, k)
+        lanes = tuple(x.reshape(-1) for x in lanes[:weff])
+        pay = pay.reshape(-1)
+    else:
+        from ..constants import minimizer_len_for_k
+
+        rec = read_kmer_records(codes, qual_ok, lens, k, minimizer_len_for_k(k))
+        words = _sentinelize(rec["words"], rec["valid"])
+        pay = jnp.where(
+            rec["valid"],
+            _pack_cnt_ext(rec["count"].astype(jnp.int32), rec["left"], rec["right"]),
+            U32(0),
+        )
+        lanes = tuple(words[:, i] for i in range(weff))
+    out = jax.lax.sort(lanes + (pay,), num_keys=weff, is_stable=False)
+    return out
+
+
+def merge_raw_runs(runs, kw: int | None = None):
+    """Balanced pairwise merge tree over sorted raw runs -> one sorted
+    tuple of lanes. kw = number of leading key lanes (default: all lanes,
+    the packed layout; the separate-payload layout passes len-1). TPU:
+    Pallas bitonic merges (mid-padded to pow2, pads sliced back off);
+    elsewhere one lax.sort per pair."""
     runs = [tuple(r) for r in runs]
+    if kw is None:
+        kw = len(runs[0])
     on_tpu = jax.default_backend() == "tpu"
     while len(runs) > 1:
         nxt = []
@@ -979,10 +1011,10 @@ def merge_raw_runs(runs):
             if on_tpu:
                 from .pallas_sort import merge_sorted_lanes_padded
 
-                nxt.append(merge_sorted_lanes_padded(a, b, kw=len(a)))
+                nxt.append(merge_sorted_lanes_padded(a, b, kw=kw))
             else:
                 cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
-                nxt.append(jax.lax.sort(cat, num_keys=len(cat), is_stable=False))
+                nxt.append(jax.lax.sort(cat, num_keys=kw, is_stable=False))
         if len(runs) % 2:
             nxt.append(runs[-1])
         runs = nxt
@@ -1075,6 +1107,94 @@ def final_from_sorted_packed(sorted_lanes, k: int, W: int, dmin_thres: int = 2,
     w_s, pay, n_kept = _compact_keep(w, keep, (packed,))
     cnt_s, left_s, right_s = _unpack_cnt_ext(pay)
     return (w_s, cnt_s, left_s, right_s, n_kept)
+
+
+@partial(jax.jit, static_argnames=("k", "W", "dmin_thres", "purge"))
+def final_from_sorted_sep(sorted_lanes, k: int, W: int, dmin_thres: int = 2,
+                          purge: bool = True):
+    """final_from_sorted_packed for the separate-payload raw layout
+    (block_to_raw_run_sep): weff key lanes + one _pack_cnt_ext payload
+    lane, key-sorted."""
+    weff = len(sorted_lanes) - 1
+    assert weff == -(-2 * k // 32) and weff <= W, (k, W, weff)
+    keys = sorted_lanes[:weff]
+    pay = sorted_lanes[weff]
+    N = keys[0].shape[0]
+    if _pallas_compact_ok(N):
+        from .pallas_compact import ragged_append
+        from .pallas_finalize import TILE as FTILE, scan_purge_compact
+
+        pad = -(-N // FTILE) * FTILE - N
+        keys_p, pay_p = tuple(keys), pay
+        if pad:
+            keys_p = tuple(
+                jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, U32)])
+                for x in keys_p
+            )
+            pay_p = jnp.concatenate([pay_p, jnp.zeros((pad,), U32)])
+        comp, cnts = scan_purge_compact(
+            keys_p, k, dmin_thres=dmin_thres, purge=purge, pay=pay_p
+        )
+        off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)]
+        ).astype(jnp.int32)
+        out = ragged_append(comp, jnp.zeros_like(cnts), off)
+        n = off[-1]
+        Np = keys_p[0].shape[0]
+        live = jnp.arange(Np, dtype=jnp.int32) < n
+        u_words = jnp.stack(
+            tuple(jnp.where(live, x, U32(0xFFFFFFFF)) for x in out[:weff])
+            + (jnp.where(live, U32(0), U32(0xFFFFFFFF)),) * (W - weff),
+            axis=-1,
+        )
+        if purge:
+            cnt_s, left_s, right_s = _unpack_cnt_ext(
+                jnp.where(live, out[weff], 0)
+            )
+            return (u_words, cnt_s, left_s, right_s, n)
+        pays = tuple(jnp.where(live, x, 0) for x in out[weff : weff + 5])
+        u_count, u_l4, u_r4 = _unpack_sums(*pays)
+        return u_words, u_count, u_l4, u_r4, n
+    cnt_in, left_in, right_in = _unpack_cnt_ext(pay)
+    sent = cnt_in == 0
+    zero_lane = jnp.where(sent, U32(0xFFFFFFFF), U32(0))
+    w = jnp.stack(tuple(keys) + (zero_lane,) * (W - weff), axis=-1)
+    sums, is_last, _ = _group_sums_scan(
+        w, cnt_in, _ext_onehot(left_in, cnt_in), _ext_onehot(right_in, cnt_in)
+    )
+    count = sums[:, 0]
+    l4 = sums[:, 1:5]
+    r4 = sums[:, 5:9]
+    if not purge:
+        keep = is_last & ~sent
+        packed = _pack_sums(count, l4, r4)
+        u_words, *pays, n_unique = _compact_keep(w, keep, packed)
+        u_count, u_l4, u_r4 = _unpack_sums(*pays)
+        return u_words, u_count, u_l4, u_r4, n_unique
+    left = _get_ext_calls(l4, count, dmin_thres)
+    right = _get_ext_calls(r4, count, dmin_thres)
+    keep = is_last & ~sent & (count >= 2) & ~((left == EXT_X) & (right == EXT_X))
+    packed = _pack_cnt_ext(count, left, right)
+    w_s, payo, n_kept = _compact_keep(w, keep, (packed,))
+    cnt_s, left_s, right_s = _unpack_cnt_ext(payo)
+    return (w_s, cnt_s, left_s, right_s, n_kept)
+
+
+@partial(jax.jit, static_argnames=("k", "W"))
+def split_from_sorted_sep(sorted_lanes, k: int, W: int):
+    """aggregate_split tail for a key-sorted separate-payload raw run (the
+    raw-LSM byte-budget collapse path at k=63/77)."""
+    weff = len(sorted_lanes) - 1
+    keys = sorted_lanes[:weff]
+    pay = sorted_lanes[weff]
+    cnt, left_s, right_s = _unpack_cnt_ext(pay)
+    sent = cnt == 0
+    zero_lane = jnp.where(sent, U32(0xFFFFFFFF), U32(0))
+    w = jnp.stack(tuple(keys) + (zero_lane,) * (W - weff), axis=-1)
+    l4 = _ext_onehot(left_s, cnt)
+    r4 = _ext_onehot(right_s, cnt)
+    sums, is_last, is_sent = _group_sums_scan(w, cnt, l4, r4)
+    return _split_from_scanned(w, sums, is_last, is_sent)
 
 
 @partial(jax.jit, static_argnames=("dmin_thres", "purge"))

@@ -133,17 +133,17 @@ def _ext_call(c4, count, dmin_thres: int):
 
 
 def _kernel(weff: int, keymask: int, dmin_thres: int, purge: bool,
-            tr: int, interpret: bool):
+            tr: int, interpret: bool, packed_layout: bool = True):
     roll = jnp.roll if interpret else pltpu.roll
-    n_carry = 18 + weff
+    n_in = weff if packed_layout else weff + 1
 
     def kernel(peek_ref, *refs):
         # peek_ref (scalar prefetch, SMEM): peek_ref[t*weff + i] = the NEXT
         # tile's first element of key lane i, already key-masked; all-ones
         # for the final tile (every non-sentinel last element ends a group)
-        ins = refs[:weff]
+        ins = refs[:n_in]
         n_out = (weff + 1) if purge else (weff + 5)
-        outs = refs[weff : weff + n_out]
+        outs = refs[n_in : n_in + n_out]
         carry = refs[-1]  # SMEM: 9 sums, 9 maxes, prev key words
         t = pl.program_id(0)
 
@@ -159,18 +159,32 @@ def _kernel(weff: int, keymask: int, dmin_thres: int, purge: bool,
                 carry[18 + i] = -1
 
         lanes = [r[:] for r in ins]
-        # x & KM via subtraction of the low bits (Mosaic miscompiles the
-        # direct top-bits AND; see ops/pallas_scan.py note)
-        keyw = lanes[:-1] + [lanes[-1] - (lanes[-1] & INV)]
-        sent = None
-        for i in range(weff):
-            m = (ONES & KM) if i == weff - 1 else ONES
-            eq = keyw[i] == m
-            sent = eq if sent is None else (sent & eq)
-        valid = ~sent
-        pay = lanes[-1]
-        left = (pay >> U32(1)) & U32(7)
-        right = (pay >> U32(4)) & U32(7)
+        if packed_layout:
+            # x & KM via subtraction of the low bits (Mosaic miscompiles the
+            # direct top-bits AND; see ops/pallas_scan.py note)
+            keyw = lanes[:-1] + [lanes[-1] - (lanes[-1] & INV)]
+            sent = None
+            for i in range(weff):
+                m = (ONES & KM) if i == weff - 1 else ONES
+                eq = keyw[i] == m
+                sent = eq if sent is None else (sent & eq)
+            valid = ~sent
+            pay = lanes[-1]
+            left = (pay >> U32(1)) & U32(7)
+            right = (pay >> U32(4)) & U32(7)
+            cin = valid.astype(I32)
+        else:
+            # separate-payload layout (k=63/77: the 7-bit payload does not
+            # fit the key lanes' free bits): keys ride unmasked, payload is
+            # a _pack_cnt_ext lane (count | left << 16 | right << 24), 0 on
+            # sentinel rows (keys all-ones, set at extraction)
+            keyw = lanes[:weff]
+            pay = lanes[weff]
+            cin = (pay & U32(0xFFFF)).astype(I32)
+            valid = cin > 0
+            sent = ~valid
+            left = (pay >> U32(16)) & U32(7)
+            right = (pay >> U32(24)) & U32(7)
 
         from .pallas_scan import _elem_prev
 
@@ -193,11 +207,11 @@ def _kernel(weff: int, keymask: int, dmin_thres: int, purge: bool,
             nxt = jnp.where(at_end, pk, nxt)
             is_last = is_last | (keyw[i] != nxt)
 
-        pays = [valid.astype(I32)]
+        pays = [cin]
         for j in range(4):
-            pays.append(((left == j) & valid).astype(I32))
+            pays.append(jnp.where((left == j) & valid, cin, 0))
         for j in range(4):
-            pays.append(((right == j) & valid).astype(I32))
+            pays.append(jnp.where((right == j) & valid, cin, 0))
         sums = _scan9(pays, is_start, carry, 0, MAX_KMER_COUNT, tr, roll)
         for i in range(weff):
             carry[18 + i] = keyw[i][tr - 1, 127].astype(I32)
@@ -242,7 +256,8 @@ def _kernel(weff: int, keymask: int, dmin_thres: int, purge: bool,
 
 @partial(jax.jit, static_argnames=("k", "dmin_thres", "purge", "interpret"))
 def scan_purge_compact(sorted_lanes, k: int, dmin_thres: int = 2,
-                       purge: bool = True, interpret: bool = False):
+                       purge: bool = True, interpret: bool = False,
+                       pay=None):
     """Fused scan + purge + per-tile compaction over sorted packed lanes.
 
     sorted_lanes: weff (N,) uint32 lexsorted lanes, 7-bit payload in the last
@@ -257,21 +272,26 @@ def scan_purge_compact(sorted_lanes, k: int, dmin_thres: int = 2,
     N = sorted_lanes[0].shape[0]
     T = N // TILE
     weff = len(sorted_lanes)
+    packed = pay is None
     free = 32 * weff - 2 * k
-    assert weff == -(-2 * k // 32) and free >= 7, (k, weff)
-    keymask = 0xFFFFFFFF ^ ((1 << free) - 1)
+    assert weff == -(-2 * k // 32), (k, weff)
+    assert (free >= 7) if packed else True, (k, weff)
+    keymask = (0xFFFFFFFF ^ ((1 << free) - 1)) if packed else 0
     n_out = (weff + 1) if purge else (weff + 5)
     spec = pl.BlockSpec((_TR, 128), lambda t, pk: (t, 0),
                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     vals = tuple(v.reshape(N // 128, 128) for v in sorted_lanes)
+    if not packed:
+        vals = vals + (pay.reshape(N // 128, 128),)
     # scalar-prefetch peek (SMEM): peek[t*weff + i] = tile t+1's first
-    # element of lane i, KEY-MASKED; the final tile peeks all-ones (every
-    # non-sentinel last element ends a group). SMEM scalars broadcast
-    # cleanly inside the kernel; Mosaic has no (1,1)->(TR,128) vector
-    # broadcast.
-    lowmask = U32((1 << free) - 1)
+    # element of key lane i, KEY-MASKED in the packed layout; all-ones for
+    # the final tile (every non-sentinel last element ends a group). SMEM
+    # scalars broadcast cleanly inside the kernel; Mosaic has no
+    # (1,1)->(TR,128) vector broadcast.
     firsts = [v.reshape(N // 128, 128)[:, 0] for v in sorted_lanes]
-    firsts[-1] = firsts[-1] - (firsts[-1] & lowmask)
+    if packed:
+        lowmask = U32((1 << free) - 1)
+        firsts[-1] = firsts[-1] - (firsts[-1] & lowmask)
     idx = (jnp.arange(T) + 1) * _TR
     safe = jnp.minimum(idx, N // 128 - 1)
     last_tile = idx > N // 128 - 1
@@ -281,13 +301,14 @@ def scan_purge_compact(sorted_lanes, k: int, dmin_thres: int = 2,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
-        in_specs=[spec] * weff,
+        in_specs=[spec] * (weff if packed else weff + 1),
         out_specs=tuple(spec for _ in range(n_out)),
         scratch_shapes=[pltpu.SMEM((18 + weff,), I32)],
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel(weff, keymask, dmin_thres, purge, _TR, interpret),
+            _kernel(weff, keymask, dmin_thres, purge, _TR, interpret,
+                    packed_layout=packed),
             grid_spec=grid_spec,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((N // 128, 128), U32) for _ in range(n_out)

@@ -129,3 +129,37 @@ def test_scan_purge_compact_multi_tile_groups(rng):
     np.testing.assert_array_equal(got_w, np.asarray(ref[0][:n, :2]))
     pay = np.asarray(out[2][:n])
     np.testing.assert_array_equal(pay & 0xFFFF, np.asarray(ref[1][:n]))
+
+
+@pytest.mark.parametrize("k,purge", [(63, True), (77, True), (63, False)])
+def test_scan_purge_compact_sep_payload(rng, k, purge):
+    """Separate-payload layout (k=63/77) through the kernel vs the XLA
+    fallback of final_from_sorted_sep."""
+    W = words32_for_k(k)
+    weff = -(-2 * k // 32)
+    blk = reads_to_block(genome_reads(rng, 2500, 300, k + 5, 120))
+    run = C.block_to_raw_run_sep(*[np.asarray(x) for x in blk], k)
+    ref = C.final_from_sorted_sep(run, k, W, dmin_thres=2, purge=purge)
+
+    N = run[0].shape[0]
+    Np = -(-N // TILE) * TILE
+    keys = tuple(
+        jnp.concatenate([x, jnp.full((Np - N,), 0xFFFFFFFF, jnp.uint32)])
+        for x in run[:weff]
+    )
+    pay = jnp.concatenate([run[weff], jnp.zeros((Np - N,), jnp.uint32)])
+    comp, cnts = scan_purge_compact(keys, k, dmin_thres=2, purge=purge,
+                                    interpret=True, pay=pay)
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(cnts)]).astype(jnp.int32)
+    out = ragged_append(comp, jnp.zeros_like(cnts), off, interpret=True)
+    n = int(off[-1])
+    assert n == int(ref[4])
+    got_w = np.stack([np.asarray(x[:n]) for x in out[:weff]], -1)
+    np.testing.assert_array_equal(got_w, np.asarray(ref[0][:n, :weff]))
+    if purge:
+        p = np.asarray(out[weff][:n])
+        np.testing.assert_array_equal(p & 0xFFFF, np.asarray(ref[1][:n]))
+        np.testing.assert_array_equal((p >> 16) & 0xFF, np.asarray(ref[2][:n]))
+        np.testing.assert_array_equal(p >> 24, np.asarray(ref[3][:n]))
+    else:
+        np.testing.assert_array_equal(np.asarray(out[weff][:n]), np.asarray(ref[1][:n]))

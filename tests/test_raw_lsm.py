@@ -56,7 +56,7 @@ def _run_both(reads_blocks, k, ctg_blocks=None, raw_budget=2 << 30):
     return da
 
 
-@pytest.mark.parametrize("k", [21, 33])
+@pytest.mark.parametrize("k", [21, 33, 63, 77])
 def test_raw_equals_dedup_multiblock(rng, k):
     blocks = [
         reads_to_block(genome_reads(rng, 800, 60, k + 5, 90, low_q_frac=0.05))
@@ -95,10 +95,21 @@ def test_raw_with_ctg_pass(rng):
     _run_both(blocks, k, ctg_blocks=[(codes, lens, depths)])
 
 
-def test_raw_lsm_disabled_when_payload_does_not_fit():
-    # k=63: 2k=126 bits in weff=4 lanes leaves 2 free bits < 7
-    s = KmerCountStore(63, raw_lsm=True)
-    assert not s.raw_lsm
+def test_raw_layout_dispatch():
+    # k=63: 2k=126 bits in weff=4 lanes leaves 2 free bits < 7 -> payload
+    # rides a separate lane; k=21 folds it into the key bits
+    assert not KmerCountStore(63, raw_lsm=True)._raw_packed
+    assert KmerCountStore(21, raw_lsm=True)._raw_packed
+
+
+def test_raw_budget_collapse_sep_layout(rng):
+    k = 63
+    blocks = [reads_to_block(genome_reads(rng, 600, 40, k + 5, 110)) for _ in range(3)]
+    da = _run_both(blocks, k, raw_budget=1)
+    ref = KmerCountStore(k, raw_lsm=False)
+    for blk in blocks:
+        ref.add_reads_block(*blk)
+    assert da == _final_dict(ref)
 
 
 @pytest.mark.parametrize("sizes", [(300, 700), (1000, 1000), (256, 256), (513, 1)])
