@@ -94,23 +94,11 @@ def _shift_compact(lanes, keep, drops_before, tr: int, roll):
 
 
 def _scan9(pays, is_start, carry, base, clamp, tr, roll):
-    """9 cumsum/runmax group-sum chains with SMEM carries (identity of
-    ops.count._group_sums_scan). carry[base+i] = running cumsum,
-    carry[base+9+i] = running start-prefix max. Returns clamped sums."""
-    from .pallas_scan import _inclusive_max_scan, _inclusive_sum_scan
+    """Segmented group-sum chains with SMEM carries (shared implementation:
+    ops.pallas_scan.seg_group_sums)."""
+    from .pallas_scan import seg_group_sums
 
-    sums = []
-    for i in range(9):
-        c_sum = carry[base + i]
-        c_max = carry[base + 9 + i]
-        incl = _inclusive_sum_scan(pays[i], roll, tr) + c_sum
-        excl = incl - pays[i]
-        bflag = jnp.where(is_start, excl, 0)
-        m = jnp.maximum(_inclusive_max_scan(bflag, roll, tr), c_max)
-        sums.append(jnp.minimum(incl - m, clamp))
-        carry[base + i] = incl[tr - 1, 127]
-        carry[base + 9 + i] = m[tr - 1, 127]
-    return sums
+    return seg_group_sums(pays, is_start, carry, base, clamp, tr, roll)
 
 
 def _ext_call(c4, count, dmin_thres: int):

@@ -87,28 +87,67 @@ def _scan_kernel(n_pay: int, tr: int, clamp: int, interpret: bool):
         t = pl.program_id(0)
         is_start = start_ref[:] != 0
 
-        for i in range(n_pay):
-            pay = pays[i][:]
-
-            @pl.when(t == 0)
-            def _init():
+        @pl.when(t == 0)
+        def _init():
+            for i in range(2 * n_pay):
                 carry[i] = 0
-                carry[n_pay + i] = 0
 
-            c_sum = carry[i]
-            c_max = carry[n_pay + i]
-            # b uses tile-local excl + c_sum; both scans fused in one pass
-            # incl_local computed first, then globalized by c_sum
-            incl = _inclusive_sum_scan(pay, roll, tr) + c_sum
-            excl = incl - pay
-            b = jnp.where(is_start, excl, 0)
-            m_local = _inclusive_max_scan(b, roll, tr)
-            m = jnp.maximum(m_local, c_max)
-            outs[i][:] = jnp.minimum(incl - m, clamp)
-            carry[i] = incl[tr - 1, 127]
-            carry[n_pay + i] = m[tr - 1, 127]
+        sums = seg_group_sums(
+            [pays[i][:] for i in range(n_pay)], is_start, carry, 0, clamp,
+            tr, roll,
+        )
+        for i in range(n_pay):
+            outs[i][:] = sums[i]
 
     return kernel
+
+
+def seg_group_sums(pays, is_start, carry, base, clamp, tr, roll):
+    """9 SEGMENTED group-sum chains with SMEM carries.
+
+    True Hillis-Steele segmented scans (operator (f1,x1) + (f2,x2) =
+    (f1|f2, f2 ? x2 : x1+x2)): ONE shared flag chain replaces the per-lane
+    running-max chain of the cumsum-minus-runmax identity — half the VPU
+    work of the previous formulation. Per round, x_i += f_i ? 0 : x_{i-s};
+    f_i |= f_{i-s}; the SMEM carry (the previous tile's open tail-segment
+    sum) flows into elements with no start anywhere before them.
+    carry[base+i] = running tail-segment sum per payload; slots base+9..
+    base+17 are unused (kept for layout stability). Returns clamped sums
+    (the inclusive within-group sums, exact at group-last rows)."""
+    lane = jax.lax.broadcasted_iota(I32, (tr, 128), 1)
+    row = jax.lax.broadcasted_iota(I32, (tr, 128), 0)
+    f = is_start.astype(I32)
+    xs = [p for p in pays]
+    s = 1
+    while s < 128:
+        m = (lane >= s) & (f == 0)
+        for j in range(len(xs)):
+            xs[j] = xs[j] + jnp.where(m, roll(xs[j], s, axis=1), 0)
+        f = f | jnp.where(lane >= s, roll(f, s, axis=1), 0)
+        s *= 2
+    # column phase over per-row tail sums (lane 127)
+    row1 = row[:, :1]
+    ft = f[:, 127:128]
+    xt = [x[:, 127:128] for x in xs]
+    s = 1
+    while s < tr:
+        m1 = (row1 >= s) & (ft == 0)
+        for j in range(len(xs)):
+            xt[j] = xt[j] + jnp.where(m1, roll(xt[j], s, axis=0), 0)
+        ft = ft | jnp.where(row1 >= s, roll(ft, s, axis=0), 0)
+        s *= 2
+    # carry-in per row: previous rows' segment sum, plus the SMEM carry for
+    # rows with no start anywhere before them in this tile
+    f_prev = jnp.where(row1 >= 1, roll(ft, 1, axis=0), 0)
+    sums = []
+    for j in range(len(xs)):
+        ct_prev = jnp.where(row1 >= 1, roll(xt[j], 1, axis=0), 0)
+        ctp = ct_prev + jnp.where(f_prev == 0, carry[base + j], 0)
+        xf = xs[j] + jnp.where(f == 0, ctp, 0)
+        carry[base + j] = xf[tr - 1, 127]
+        sums.append(jnp.minimum(xf, clamp))
+    return sums
+
 
 
 def _elem_prev(x, roll, tr, first):
@@ -186,18 +225,10 @@ def _packed_scan_kernel(weff: int, keymask: int, tr: int, clamp: int,
         for j in range(4):
             pays.append(((right == j) & valid).astype(I32))
 
-        sums = []
-        for i in range(9):
-            c_sum = carry[i]
-            c_max = carry[9 + i]
-            incl = _inclusive_sum_scan(pays[i], roll, tr) + c_sum
-            excl = incl - pays[i]
-            b = jnp.where(is_start, excl, 0)
-            m_local = _inclusive_max_scan(b, roll, tr)
-            m = jnp.maximum(m_local, c_max)
-            sums.append(jnp.minimum(incl - m, clamp).astype(jnp.uint32))
-            carry[i] = incl[tr - 1, 127]
-            carry[9 + i] = m[tr - 1, 127]
+        sums = [
+            x.astype(jnp.uint32)
+            for x in seg_group_sums(pays, is_start, carry, 0, clamp, tr, roll)
+        ]
         for i in range(weff):
             carry[18 + i] = keyw[i][tr - 1, 127].astype(I32)
 
