@@ -100,18 +100,42 @@ def _start_watchdog(seconds: int = 2400):
 
 
 def main():
+    import os
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     watchdog = _start_watchdog()
     can_compile = compile_service_ok()
+    degraded = []
+    from mhm2_proxy_tpu.ops import kernels
+    from mhm2_proxy_tpu.ops import lookup as _lookup
+
     if not can_compile:
         # stick to program shapes the persistent cache already holds from the
         # last healthy round: the pre-merge-join edge build, no multi-k
-        from mhm2_proxy_tpu.ops import lookup as _lookup
-
         _lookup._USE_MERGE_JOIN = False
+        degraded.append("compile service down: merge-join off, multi-k skipped")
+
+    # real-chip kernel gate (VERDICT r3 #3): compile + bit-check every Pallas
+    # kernel against its XLA twin on the actual chip BEFORE timing anything;
+    # a Mosaic roll shows up as a named kernel failure + XLA fallback instead
+    # of a dead bench (the round-3 failure mode: arith.maxui in pallas_join
+    # killed the whole recording).
+    kernel_matrix = None
+    if (can_compile and jax.default_backend() == "tpu"
+            and not os.environ.get("MHM2_BENCH_SKIP_GATE")):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import verify_kernels_tpu
+
+        kernel_matrix = verify_kernels_tpu.run_matrix(budget_s=900)
+        for kname, r in kernel_matrix.items():
+            if not r.get("ok"):
+                kernels.disable(kname, r.get("err", "verify failed"))
+                degraded.append(
+                    f"kernel {kname} failed on-chip verify -> XLA fallback"
+                )
     import jax.numpy as jnp
     from mhm2_proxy_tpu.kcount import KmerCountStore
     from mhm2_proxy_tpu.dbjg.traverse import build_edges, fit_table_rows
@@ -167,15 +191,38 @@ def main():
         times["total_s"] = t3 - t0
         return table, times
 
+    def run_round_safe(staged: bool):
+        """run_round that degrades instead of dying: on any failure (a
+        Mosaic rejection the gate's shapes missed, a fresh toolchain roll)
+        disable ALL Pallas kernels + the merge join, clear the jit caches so
+        the flip actually retraces, and re-run pure-XLA."""
+        nonlocal pure_xla
+        if pure_xla:
+            return run_round(staged)
+        try:
+            return run_round(staged)
+        except Exception as e:
+            pure_xla = True
+            degraded.append(
+                f"round raised {type(e).__name__} -> all kernels disabled, "
+                f"pure-XLA rerun: {str(e)[:300]}"
+            )
+            for kname in kernels._MODULES:
+                kernels.disable(kname, "bench fallback")
+            _lookup._USE_MERGE_JOIN = False
+            jax.clear_caches()
+            return run_round(staged)
+
+    pure_xla = False
     # warmup compiles every shape of the identical timed pass
-    table, _ = run_round(staged=True)
+    table, _ = run_round_safe(staged=True)
     reps = []
     for _ in range(3):
-        table, times = run_round(staged=False)
+        table, times = run_round_safe(staged=False)
         reps.append(times)
     staged_reps = []
     for _ in range(2):
-        table, times = run_round(staged=True)
+        table, times = run_round_safe(staged=True)
         staged_reps.append(times)
     best = min(reps, key=lambda t: t["total_s"])
     best_staged = min(staged_reps, key=lambda t: t["total_s"])
@@ -203,20 +250,25 @@ def main():
 
     cb, qb, lb = blocks[0]
     micro = []
-    for _ in range(5):
-        ts = {}
-        for iters in (2, 12):
-            mfn = agg_chain(iters)
-            np.asarray(mfn(cb, qb, lb))  # compile + warm
-            t_min = 1e18
-            for _ in range(2):
-                t0 = time.perf_counter()
-                np.asarray(mfn(cb, qb, lb))
-                t_min = min(t_min, time.perf_counter() - t0)
-            ts[iters] = t_min
-        per = (ts[12] - ts[2]) / 10
-        if per > 0:  # guard tunnel-jitter-induced negative differences
-            micro.append(B * (L - k - 1) / per)
+    try:
+        for _ in range(5):
+            ts = {}
+            for iters in (2, 12):
+                mfn = agg_chain(iters)
+                np.asarray(mfn(cb, qb, lb))  # compile + warm
+                t_min = 1e18
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    np.asarray(mfn(cb, qb, lb))
+                    t_min = min(t_min, time.perf_counter() - t0)
+                ts[iters] = t_min
+            per = (ts[12] - ts[2]) / 10
+            if per > 0:  # guard tunnel-jitter-induced negative differences
+                micro.append(B * (L - k - 1) / per)
+    except Exception as e:
+        degraded.append(f"aggregate-only microbench failed: {type(e).__name__}")
+    if not micro:
+        micro = [0.0]
 
     # multi-k on-chip rounds (VERDICT r2 #6): the production run is 21->99
     # with W=4/6/8 word paths; record one single-block round per k so every
@@ -238,14 +290,18 @@ def main():
             fence(e)
             return t1 - t0, time.perf_counter() - t0, tab
 
-        round_k()  # compile warm
-        best_k = min((round_k() for _ in range(2)), key=lambda r: r[1])
-        multi_k[kx] = {
-            "count_finalize_s": round(best_k[0], 4),
-            "round_s": round(best_k[1], 4),
-            "kmers_per_sec": round(kmers_kx / best_k[1], 1),
-            "table_kmers": int(np.asarray(best_k[2].n)),
-        }
+        try:
+            round_k()  # compile warm
+            best_k = min((round_k() for _ in range(2)), key=lambda r: r[1])
+            multi_k[kx] = {
+                "count_finalize_s": round(best_k[0], 4),
+                "round_s": round(best_k[1], 4),
+                "kmers_per_sec": round(kmers_kx / best_k[1], 1),
+                "table_kmers": int(np.asarray(best_k[2].n)),
+            }
+        except Exception as e:
+            multi_k[kx] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            degraded.append(f"multi-k k={kx} round failed")
 
     detail = {
         "platform": jax.devices()[0].platform,
@@ -264,12 +320,10 @@ def main():
             "fenced run (block_until_ready is a no-op via tunnel)"
         ),
     }
-    if not can_compile:
-        detail["degraded"] = (
-            "TPU compile service unavailable (fresh compiles hang; cached "
-            "executables run) — measured cached pre-merge-join paths only, "
-            "multi-k skipped"
-        )
+    if kernel_matrix is not None:
+        detail["kernel_verify"] = kernel_matrix
+    if degraded:
+        detail["degraded"] = degraded
     watchdog.cancel()
     print(
         json.dumps(

@@ -259,7 +259,17 @@ class KmerCountStore:
             run = C.split_from_sorted_sep(merged, self.k, W)
         self.raw_runs = []
         ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
-        self._push_split_run(self._trim(run, int(ns[0]), int(ns[1])))
+        if self.compact_singles:
+            self._push_split_run(self._trim(run, int(ns[0]), int(ns[1])))
+        else:
+            # the plain-format LSM cannot hold a SPLIT (8-tuple) run: fold
+            # the singleton sideband back into full format before pushing
+            # (finalize's plain branch merges a[:4] only and would silently
+            # drop the sideband)
+            agg = C.merge_aggregates(
+                *run[:4], *C.expand_singles(run[5], run[6], run[7])
+            )
+            self._push_run(self.runs, agg, C.merge_aggregates)
 
     def resident_run_bytes(self) -> int:
         """Device bytes held by the read-pass runs (memory observability)."""

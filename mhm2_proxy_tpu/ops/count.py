@@ -43,7 +43,9 @@ def minimizer_shard_targets(codes, k: int, m: int, n_shards: int, use_pallas: bo
         B, L = codes.shape
         return jnp.zeros((B, L - k + 1), jnp.int32)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and n_shards > 1
+        from . import kernels
+
+        use_pallas = kernels.enabled("minimizer") and n_shards > 1
     if use_pallas:
         from .pallas_minimizer import pallas_minimizer_targets
 
@@ -85,7 +87,9 @@ def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, d
     B, L = codes.shape
     P = L - k + 1
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from . import kernels
+
+        use_pallas = kernels.enabled("extract")
     if use_pallas:
         from .pallas_extract import extract_record_lanes
 
@@ -217,7 +221,7 @@ def _group_sums_scan(words, count, l4, r4):
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
     is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
-    if _pallas_compact_ok(N):
+    if _pallas_compact_ok(N, "scan"):
         # fused single-pass Pallas scan (XLA lowers the cumsum + cummax to
         # several full-array passes, ~10x off roofline at 18M rows)
         from .pallas_scan import TILE as SCAN_TILE, group_sums_scan_lanes
@@ -270,12 +274,18 @@ def _group_sums_bounded(words, count, l4, r4, mult: int):
     return jnp.minimum(pay, MAX_KMER_COUNT), is_last, is_sent
 
 
-def _pallas_compact_ok(N: int) -> bool:
-    """Gate for the Pallas ragged-append compaction (ops/pallas_compact.py):
-    TPU only, and large enough that the two-phase formulation wins."""
+def _pallas_compact_ok(N: int, *names: str) -> bool:
+    """Gate for the Pallas ragged-append compaction (ops/pallas_compact.py)
+    plus any extra kernels the caller's fused path needs: enabled in the
+    central registry (ops/kernels.py), and large enough that the two-phase
+    formulation wins."""
+    from . import kernels
+
+    if not kernels.enabled("compact", *names):
+        return False
     from .pallas_compact import TILE
 
-    return jax.default_backend() == "tpu" and N >= 4 * TILE
+    return N >= 4 * TILE
 
 
 def _pad_tile_lanes(lanes, flags, dead_class: int):
@@ -402,7 +412,9 @@ def _merge_sorted_sets(a, b):
     b_words, b_count, b_l4, b_r4 = b
     W = a_words.shape[1]
     na, nb = a_words.shape[0], b_words.shape[0]
-    if jax.default_backend() == "tpu":
+    from . import kernels
+
+    if kernels.enabled("sort"):
         from .pallas_sort import merge_sorted_lanes
 
         total = na + nb
@@ -814,7 +826,7 @@ def split_from_sorted_packed(out, k: int, W: int):
     w = jnp.stack(
         tuple(out[:-1]) + (clean_last,) + (zero_lane,) * (W - weff), axis=-1
     )
-    if _pallas_compact_ok(w.shape[0]):
+    if _pallas_compact_ok(w.shape[0], "scan"):
         # fused packed scan: payload one-hots and group starts derived
         # IN-KERNEL from the packed sorted lanes, sums emitted pre-packed —
         # (weff in + 5 out) lanes of HBM traffic instead of (10 in + 9 out)
@@ -847,7 +859,9 @@ def merge_split4(a, b, c, d):
     """Merge four sorted deduped (words, count, l4, r4) sets straight into a
     split run (fused merge_aggregates4 + split_run: the deduped intermediate
     and its compaction sort are skipped)."""
-    if jax.default_backend() == "tpu":
+    from . import kernels
+
+    if kernels.enabled("sort"):
         ab = _merge_sorted_sets(a[:4], b[:4])
         cd = _merge_sorted_sets(c[:4], d[:4])
         w, cnt, l4, r4 = _merge_sorted_sets(ab, cd)
@@ -865,7 +879,9 @@ def merge_split4(a, b, c, d):
 @jax.jit
 def merge_aggregates4(a, b, c, d):
     """Merge four (words, count, l4, r4) sets in ONE sort + dedup."""
-    if jax.default_backend() == "tpu":
+    from . import kernels
+
+    if kernels.enabled("sort"):
         # three pairwise bitonic merges of already-sorted runs beat one
         # comparator sort of the concatenation
         ab = _merge_sorted_sets(a[:4], b[:4])
@@ -891,7 +907,9 @@ def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
     plus a stacked (n_multi, n_single) pair so the caller's occupancy fetch
     (needed for the trim slice sizes) is a single transfer.
     """
-    if jax.default_backend() == "tpu":
+    from . import kernels
+
+    if kernels.enabled("extract"):
         from ..constants import words32_for_k
         from .pallas_extract import extract_packed_lanes, extract_record_lanes
 
@@ -944,7 +962,9 @@ def block_to_raw_run(codes, qual_ok, lens, k: int):
 
     W = words32_for_k(k)
     assert payload_fits_in_keys(k, W), k
-    if jax.default_backend() == "tpu":
+    from . import kernels
+
+    if kernels.enabled("extract"):
         from .pallas_extract import extract_packed_lanes
 
         lanes = extract_packed_lanes(codes, qual_ok, lens, k)
@@ -973,7 +993,9 @@ def block_to_raw_run_sep(codes, qual_ok, lens, k: int):
     lane (count=1 | left << 16 | right << 24; 0 on sentinel rows), sorted by
     the key lanes (payload rides the sort)."""
     weff = -(-2 * k // 32)
-    if jax.default_backend() == "tpu":
+    from . import kernels
+
+    if kernels.enabled("extract"):
         from .pallas_extract import extract_record_lanes
 
         lanes, pay = extract_record_lanes(codes, qual_ok, lens, k)
@@ -1003,7 +1025,9 @@ def merge_raw_runs(runs, kw: int | None = None):
     runs = [tuple(r) for r in runs]
     if kw is None:
         kw = len(runs[0])
-    on_tpu = jax.default_backend() == "tpu"
+    from . import kernels
+
+    on_tpu = kernels.enabled("sort")
     while len(runs) > 1:
         nxt = []
         for i in range(0, len(runs) - 1, 2):
@@ -1035,7 +1059,7 @@ def final_from_sorted_packed(sorted_lanes, k: int, W: int, dmin_thres: int = 2,
     keymask = U32(keymask_int)
     lowmask = U32((1 << free) - 1)
     N = sorted_lanes[0].shape[0]
-    if _pallas_compact_ok(N):
+    if _pallas_compact_ok(N, "finalize", "scan"):
         # fused kernel: scan + ext calls + purge + tile-local compaction in
         # ONE pass (ops/pallas_finalize.py), then the O(N) ragged append —
         # replaces the scan pass + elementwise purge pass + batched tile

@@ -71,9 +71,11 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     # bits on the de Bruijn edge path): one lane fewer through the join sort
     # is a ~25% traffic cut on its dominant op
     fused = payload is not None and payload_bits + 26 <= 32 and max(T, Q) < (1 << 25)
+    from . import kernels
+
     use_merge = _USE_MERGE_JOIN
     if use_merge is None:
-        use_merge = jax.default_backend() == "tpu"
+        use_merge = kernels.enabled("sort")
     if fused and use_merge:
         from .pallas_sort import merge_sorted_lanes
 
@@ -102,9 +104,14 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         a_lanes = tuple(table_words[:, w] for w in range(W)) + (tsrc,)
         out = merge_sorted_lanes(a_lanes, b_lanes, kw=W, interpret=interp)
         qp = Q  # static query row count (for the back-route compact)
-        from .pallas_join import TILE as JTILE
+        # interpret mode (tests forcing _USE_MERGE_JOIN on CPU) keeps the
+        # fused path; on TPU the registry can turn it off individually
+        fuse_ok = interp or kernels.enabled("join", "compact", "scan")
+        if fuse_ok:
+            from .pallas_join import TILE as JTILE
 
-        if out[0].shape[0] % JTILE == 0:
+            fuse_ok = out[0].shape[0] % JTILE == 0
+        if fuse_ok:
             # fused epilogue: propagation + query compaction in ONE Pallas
             # pass (ops/pallas_join.py) instead of 5 XLA doubling rounds +
             # the 2-phase compaction; only the dest sort remains
@@ -197,11 +204,18 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     # route answers back to query order with ONE stable 1-key sort by
     # destination (query source ids are unique, table rows sink to the tail)
     # instead of two scatters. On the merge path the query-row count is
-    # STATIC (Q + pad — every query and pad row carries the query flag), so
-    # an O(N) Pallas compaction first drops the table rows and the dest sort
-    # runs over ~2/3 fewer rows.
+    # STATIC (qp = Q exactly: pad rows are TABLE-flagged and drop with the
+    # table rows), so an O(N) Pallas compaction first drops the table+pad
+    # rows and the dest sort runs over exactly Q rows. This branch is the
+    # merge path's non-tile-multiple fallback only — tile-multiple merged
+    # sizes take the fused-epilogue early return above.
     dest = jnp.where(sq, ssrc, jnp.int32(T + Q))
-    if qp is not None and dest.shape[0] % _compact_tile() == 0 and prop.dtype == jnp.uint32:
+    from . import kernels
+
+    if (qp is not None
+            and (kernels.enabled("compact") or jax.default_backend() != "tpu")
+            and dest.shape[0] % _compact_tile() == 0
+            and prop.dtype == jnp.uint32):
         from .pallas_compact import compact_classes
 
         flags = jnp.where(sq, 0, 1).astype(jnp.int32)

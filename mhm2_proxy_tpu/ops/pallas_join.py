@@ -42,6 +42,18 @@ _TR = TILE // 128
 _HALO = 8  # canvas halo rows on each side (1 data row + 7 dead)
 
 
+def _umax(a, b):
+    """Unsigned u32 elementwise max via compare+select.
+
+    Mosaic has no legalization for `arith.maxui` (jnp.maximum on uint32
+    vectors fails to compile — the round-3 regression), but unsigned
+    compares (`arith.cmpi ugt`) + select are proven-legal here: the bitonic
+    sort/merge kernels (pallas_sort.py) run them on every uint32 lane on
+    real TPU hardware.
+    """
+    return jnp.where(a > b, a, b)
+
+
 def _kernel(kw: int, payload_bits: int, max_dup: int, tr: int, interpret: bool):
     roll = jnp.roll if interpret else pltpu.roll
     n_lanes = kw + 1
@@ -118,9 +130,9 @@ def _kernel(kw: int, payload_bits: int, max_dup: int, tr: int, interpret: bool):
                 eqd = cv[i] == dn(cv[i])
                 same_u = equ if same_u is None else (same_u & equ)
                 same_d = eqd if same_d is None else (same_d & eqd)
-            cp = jnp.maximum(
+            cp = _umax(
                 cp,
-                jnp.maximum(
+                _umax(
                     jnp.where(same_u, up(cp), 0), jnp.where(same_d, dn(cp), 0)
                 ),
             )
@@ -156,6 +168,10 @@ def propagate_compact(merged_lanes, n_valid, kw: int, payload_bits: int,
     M = merged_lanes[0].shape[0]
     T = M // TILE
     assert M % TILE == 0, M
+    # the canvas carries ONE data row (128 elems) of halo per side, so an
+    # equal-key run straddling a tile boundary is only covered when it fits
+    # in tile + halo; beyond that the propagation would silently miss rows
+    assert max_dup <= 129, f"max_dup {max_dup} exceeds the 1-row halo bound"
     vals = tuple(v.reshape(M // 128, 128) for v in merged_lanes)
     # peek: next tile's first row per lane at rows 8i of (8*(kw+1), 128)
     rows = []

@@ -211,13 +211,17 @@ def _bitonic_network(vals, kw: int, interpret: bool):
 def merge_sorted_lanes_padded(a_lanes, b_lanes, kw: int, interpret: bool = False):
     """merge_sorted_lanes for ARBITRARY (non-pow2) run lengths.
 
-    Sentinel pad rows (all-ones, the empty-key convention) are inserted
-    BETWEEN a and reversed(b): ascending-a then all-ones then descending-b
-    is still bitonic, so the standard network applies at the next pow2
-    size. All-ones rows sort to the tail, where exactly `pad` of the
-    trailing all-ones rows are sliced off statically (real sentinel rows
-    already sort there and are indistinguishable — the kept prefix has
-    exactly len(a)+len(b) rows with identical content either way).
+    Sentinel pad rows (all-ones KEY lanes, the empty-key convention) are
+    inserted BETWEEN a and reversed(b): ascending-a then all-ones then
+    descending-b is still bitonic, so the standard network applies at the
+    next pow2 size. All-ones keys sort to the tail, where exactly `pad` of
+    the trailing sentinel rows are sliced off statically. Non-key lanes pad
+    with a real sentinel row's fill (0 — e.g. the separate-payload raw
+    layout zeroes the payload of sentinel rows): bitonicity depends only on
+    the kw key lanes, and a matching fill makes pad rows truly
+    indistinguishable from real sentinels (an all-ones payload pad could
+    land in the kept prefix and leak a count=0xFFFF row into downstream
+    intermediates).
     """
     A = a_lanes[0].shape[0]
     B = b_lanes[0].shape[0]
@@ -227,8 +231,10 @@ def merge_sorted_lanes_padded(a_lanes, b_lanes, kw: int, interpret: bool = False
     if pad == 0:
         return merge_sorted_lanes(a_lanes, b_lanes, kw, interpret)
     ones = jnp.full((pad,), 0xFFFFFFFF, U32)
+    zeros = jnp.zeros((pad,), U32)
     vals = tuple(
-        jnp.concatenate([a, ones, b[::-1]]) for a, b in zip(a_lanes, b_lanes)
+        jnp.concatenate([a, ones if i < kw else zeros, b[::-1]])
+        for i, (a, b) in enumerate(zip(a_lanes, b_lanes))
     )
     out = _bitonic_network(vals, kw, interpret)
     return tuple(v[:total] for v in out)

@@ -62,8 +62,10 @@ def sw_align_ends(
     per-column carries through HBM) is the production path.
     """
     if use_pallas is None:
+        from . import kernels
+
         use_pallas = (
-            jax.default_backend() == "tpu"
+            kernels.enabled("ssw")
             and query.shape[1] <= 1024 and ref.shape[1] <= 4096
         )
     if use_pallas:
