@@ -31,6 +31,14 @@ def load_checkpoint_contigs(fname: str) -> list[Contig]:
     return out
 
 
+def _infer_contigs_k(fname: str) -> int:
+    """k of a contigs-<k>.fasta checkpoint filename; 0 if not inferable."""
+    import re
+
+    m = re.search(r"contigs-(\d+)\.fasta(\.gz)?$", os.path.basename(fname))
+    return int(m.group(1)) if m else 0
+
+
 def log_module(log, name: str, secs: float):
     """[module] timing line; multi-process runs aggregate min/avg/max across
     processes (reference MinSumMax reductions, upcxx-utils/timers.hpp:42-161)."""
@@ -103,8 +111,29 @@ def run_pipeline(opts: Options) -> Assembler:
                 raise FileNotFoundError(f"--post-asm-only needs {fa}")
             asm.contigs = load_checkpoint_contigs(fa)
             log.info(f"[post-asm-only] loaded {len(asm.contigs)} contigs from {fa}")
+        prev_k = 0
+        if opts.contigs and not opts.post_asm_only:
+            # mid-pipeline restart from an EXTERNAL contig checkpoint
+            # (reference -c/--contigs + --prev-kmer-len,
+            # docs/mhm_guide.md:285-309): the file becomes the most recent
+            # checkpoint; rounds at or below its k are already done
+            asm.contigs = load_checkpoint_contigs(opts.contigs)
+            prev_k = opts.prev_kmer_len or _infer_contigs_k(opts.contigs)
+            if not prev_k:
+                raise ValueError(
+                    f"--contigs {opts.contigs}: cannot infer its k-mer round "
+                    "from the filename; pass --prev-kmer-len"
+                )
+            log.info(
+                f"[restart] loaded {len(asm.contigs)} contigs from "
+                f"{opts.contigs} (previous round k={prev_k}); resuming at "
+                f"the first k > {prev_k}"
+            )
         profiled = False
         for k in opts.kmer_lens if not opts.post_asm_only else []:
+            if prev_k and k <= prev_k:
+                log.info(f"[restart] skipping k={k} (<= --prev-kmer-len {prev_k})")
+                continue
             ckpt = os.path.join(out_dir, f"contigs-{k}.fasta")
             if opts.restart and os.path.exists(ckpt):
                 asm.contigs = load_checkpoint_contigs(ckpt)
@@ -134,7 +163,9 @@ def run_pipeline(opts: Options) -> Assembler:
             n_edges = write_gfa2(
                 os.path.join(out_dir, "final_assembly.gfa2"),
                 [(c.id, c.seq, c.depth) for c in asm.contigs if len(c.seq) >= opts.min_ctg_print_len],
-                max(opts.kmer_lens),
+                # --max-kmer-len: a restart that only re-runs smaller k still
+                # sizes overlaps by the original run's largest contigging k
+                max([opts.max_kmer_len] + list(opts.kmer_lens)),
             )
             log.info(f"[gfa] wrote final_assembly.gfa2 with {n_edges} edges")
         if opts.post_asm_align or opts.post_asm_abundance:

@@ -28,6 +28,16 @@ class Options:
     checkpoint_merged: bool = False
     dump_kmers: bool = False
     restart: bool = False
+    # mid-pipeline restart from an EXTERNAL contig set (reference
+    # docs/mhm_guide.md:285-309, options.hpp:88-107): contigs = FASTA used
+    # as the most recent checkpoint; prev_kmer_len = the k of the round that
+    # produced it (rounds with k <= prev_kmer_len are skipped; 0 = infer
+    # from a contigs-<k>.fasta filename); max_kmer_len = largest contigging
+    # k of the ORIGINAL run (GFA overlap sizing when this run only re-runs
+    # smaller k; 0 = max of this run's kmer_lens)
+    contigs: str = ""
+    prev_kmer_len: int = 0
+    max_kmer_len: int = 0
     min_ctg_print_len: int = DEFAULT_MIN_CTG_PRINT_LEN
     block_reads: int = 0  # 0 = auto (131072 on TPU, 4096 on CPU)
     bucket_cap: int = 0  # 0 = auto; per-destination exchange bucket rows
@@ -73,6 +83,21 @@ def parse_args(argv=None) -> Options:
                    help="write kmers-<k>.txt.gz per round")
     p.add_argument("--restart", action="store_true",
                    help="resume in an existing output dir at the first missing round")
+    p.add_argument("-c", "--contigs", default="",
+                   help="FASTA contig file to use as the most recent "
+                        "checkpoint for a mid-pipeline restart (any "
+                        "contigs-<k>.fasta from a checkpointed run; reference "
+                        "mhm_guide.md:285-309)")
+    p.add_argument("--prev-kmer-len", type=int, default=0,
+                   help="k of the round that produced --contigs; rounds with "
+                        "k <= this are skipped. 0 = infer from a "
+                        "contigs-<k>.fasta filename")
+    p.add_argument("--max-kmer-len", type=int, default=0,
+                   help="largest contigging k of the original run (sizes GFA "
+                        "overlaps when this run only re-runs smaller k); "
+                        "0 = max of this run's -k list")
+    p.add_argument("-s", "--scaff-kmer-lens", nargs="+", default=None,
+                   help=argparse.SUPPRESS)
     p.add_argument("--min-ctg-print-len", type=int, default=DEFAULT_MIN_CTG_PRINT_LEN)
     p.add_argument("--block-reads", type=int, default=0,
                    help="reads per device block; 0 = auto (131072 on TPU — the "
@@ -106,6 +131,19 @@ def parse_args(argv=None) -> Options:
     p.add_argument("-v", "--verbose", action="store_true")
     a = p.parse_args(argv)
 
+    if a.scaff_kmer_lens is not None:
+        # explicit rejection, not silent: scaffolding rounds are outside the
+        # contigging-proxy capability set this framework mirrors (the
+        # reference proxy ends at final contigs too); see docs/guide.md
+        p.error(
+            "-s/--scaff-kmer-lens: scaffolding is outside the contigging "
+            "proxy's scope (the pipeline ends at final_assembly.fasta); "
+            "see docs/guide.md 'Reference flag mapping'"
+        )
+
+    if a.contigs and not os.path.exists(a.contigs):
+        p.error(f"--contigs: {a.contigs} not found")
+
     if a.config:
         opts = Options.load_config(a.config)
         # CLI restart flag still applies on top of a loaded config
@@ -127,6 +165,9 @@ def parse_args(argv=None) -> Options:
         checkpoint_merged=a.checkpoint_merged,
         dump_kmers=a.dump_kmers,
         restart=a.restart,
+        contigs=a.contigs,
+        prev_kmer_len=a.prev_kmer_len,
+        max_kmer_len=a.max_kmer_len,
         min_ctg_print_len=a.min_ctg_print_len,
         block_reads=a.block_reads,
         bucket_cap=a.bucket_cap,

@@ -15,6 +15,10 @@ import sys
 def main():
     pid, n_procs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     fastq, outdir = sys.argv[4], sys.argv[5]
+    # the launcher exports these in real runs; the logger keys its per-rank
+    # fan-out (utils/logger.py, reference log.cpp:281-313) off them
+    os.environ["MHM2_TPU_PROC_ID"] = str(pid)
+    os.environ["MHM2_TPU_NUM_PROCS"] = str(n_procs)
 
     # small per-process device count: the CI box has 2 cores shared by all
     # simulated hosts, and XLA compile cost scales with the SPMD program size
@@ -45,6 +49,12 @@ def main():
     init_multihost(f"localhost:{port}", n_procs, pid)
     assert jax.process_count() == n_procs
     mesh = make_host_mesh()  # (n_procs hosts) x (local_dev devices)
+
+    from mhm2_proxy_tpu.utils.logger import get_logger
+
+    log = get_logger(log_file=os.path.join(outdir, "mhm2_tpu.log"))
+    log.info(f"worker {pid}/{n_procs} up: mesh {mesh.devices.shape}")
+    log.debug(f"worker {pid}: per-rank debug stream")
 
     k = 21
     qual_offset = 33

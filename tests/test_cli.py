@@ -186,3 +186,56 @@ def test_post_asm_only_runs_on_existing_assembly(rng, tmp_path):
     assert open(f"{out}/final_assembly.fasta").read() == before
     rows = open(f"{out}/final_assembly_depths.tsv").read().splitlines()
     assert rows[0].startswith("contigName") and len(rows) > 1
+
+
+def test_midpipeline_restart_from_external_contigs(rng, tmp_path):
+    """-c/--contigs + --prev-kmer-len (reference mhm_guide.md:285-309):
+    a run seeded with an external contig checkpoint skips the rounds at or
+    below the checkpoint's k and produces the same final assembly as the
+    uninterrupted progression."""
+    import pytest
+
+    genome, fq = make_data(rng, tmp_path)
+    out_full = str(tmp_path / "full")
+    full = run_pipeline(Options(
+        reads=[fq], kmer_lens=[21, 33], output_dir=out_full, checkpoint=True,
+        block_reads=1024,
+    ))
+    ckpt = f"{out_full}/contigs-21.fasta"
+    assert os.path.exists(ckpt)
+
+    # restart in a FRESH dir from the k=21 checkpoint; only k=33 runs
+    out_re = str(tmp_path / "re")
+    opts = parse_args([
+        "-r", fq, "-k", "21", "33", "-o", out_re, "--contigs", ckpt,
+        "--block-reads", "1024",
+    ])
+    assert opts.contigs == ckpt and opts.prev_kmer_len == 0  # inferred later
+    asm2 = run_pipeline(opts)
+    assert {c.seq for c in asm2.contigs} == {c.seq for c in full.contigs}
+    assert not os.path.exists(f"{out_re}/contigs-21.fasta")  # round skipped
+    assert os.path.exists(f"{out_re}/contigs-33.fasta")
+
+    # explicit --prev-kmer-len overrides filename inference
+    renamed = str(tmp_path / "外部ctgs.fa")
+    os.rename(ckpt, renamed)
+    out_re2 = str(tmp_path / "re2")
+    asm3 = run_pipeline(parse_args([
+        "-r", fq, "-k", "21", "33", "-o", out_re2, "--contigs", renamed,
+        "--prev-kmer-len", "21", "--block-reads", "1024",
+    ]))
+    assert {c.seq for c in asm3.contigs} == {c.seq for c in full.contigs}
+
+    # non-inferable filename without --prev-kmer-len dies loudly
+    with pytest.raises(ValueError, match="prev-kmer-len"):
+        run_pipeline(parse_args([
+            "-r", fq, "-k", "33", "-o", str(tmp_path / "re3"),
+            "--contigs", renamed, "--block-reads", "1024",
+        ]))
+
+
+def test_scaffolding_flag_rejected():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_args(["-r", "a.fq", "-s", "99", "33"])

@@ -58,6 +58,15 @@ def test_two_process_assembly_equals_single(tmp_path, rng):
     c1 = json.load(open(tmp_path / "contigs-1.json"))
     assert c0 == c1 and len(c0) > 0
 
+    # per-process log fan-out (utils/logger.py, reference log.cpp:281-313):
+    # rank 0 writes the main log; EVERY rank writes a per_rank debug log
+    assert (tmp_path / "mhm2_tpu.log").exists()
+    for r in range(2):
+        rank_log = tmp_path / "per_rank" / "00000000" / f"{r:08d}" / "mhm2_tpu.log"
+        assert rank_log.exists(), rank_log
+        body = rank_log.read_text()
+        assert f"worker {r}/2 up" in body and "per-rank debug stream" in body
+
     # single-host oracle over the same reads
     from mhm2_proxy_tpu.kcount import KmerCountStore
     from mhm2_proxy_tpu.dbjg import traverse_debruijn_graph
