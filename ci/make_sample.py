@@ -36,20 +36,52 @@ def main():
                     "12-sample coassembly analog, ci_asm_qual_test-full.sh)")
     args = ap.parse_args()
     if args.coassembly:
+        # >= 2 Mbp, 12 genomes, log-skewed coverage, SHARED repeats: the
+        # nightly tier must stress what the 75 kb smoke community cannot —
+        # inter-genome repeat collapse, depth-skewed purge behavior, and
+        # high-k survival of low-abundance members (the reference gates at
+        # 28.9% genome fraction under real skew, good-arctic-sample0.txt:33)
         args.genomes = 12
-        args.genome_len = 70000
-        args.genome_len_step = 3000
-        args.coverage = 10.0
+        args.genome_len = 120000
+        args.genome_len_step = 10000
+        args.coverage = 4.0
         args.name = "synth_coassembly"
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+
+    # shared repeat library (coassembly only): mobile-element-like sequences
+    # spliced into MULTIPLE genomes, some reverse-complemented — the classic
+    # metagenome misassembly trap (distinct genomes joined through a repeat)
+    repeats = []
+    if args.coassembly:
+        from mhm2_proxy_tpu.oracle.pyref import revcomp_str
+
+        repeats = [random_genome(rng, int(n)) for n in (2000, 3000, 1500, 2500, 4000)]
+
     all_ids, all_seqs, all_quals = [], [], []
     total_bp = 0
     for g in range(args.genomes):
-        # varied abundances like a real metagenome
-        cov = args.coverage * (1.0 + 0.5 * (g % 4))
+        if args.coassembly:
+            # log-spaced abundance skew ~4x..26x across community members
+            cov = args.coverage * (1.6 ** (g % 5))
+        else:
+            # varied abundances like a real metagenome
+            cov = args.coverage * (1.0 + 0.5 * (g % 4))
         genome = random_genome(rng, args.genome_len + args.genome_len_step * g)
+        if repeats:
+            # splice 2-5 copies from the shared library at random loci
+            parts, pos = [], 0
+            cuts = np.sort(rng.integers(1000, len(genome) - 1000,
+                                        int(rng.integers(2, 6))))
+            for c in np.unique(cuts):
+                el = repeats[int(rng.integers(0, len(repeats)))]
+                if rng.random() < 0.5:
+                    el = revcomp_str(el)
+                parts.extend([genome[pos:c], el])
+                pos = int(c)
+            parts.append(genome[pos:])
+            genome = "".join(parts)
         total_bp += len(genome)
         write_fasta(
             os.path.join(args.out_dir, f"{args.name}-genome{g}.fasta"), [(g, genome, 1.0)]
