@@ -127,7 +127,7 @@ class KmerCountStore:
 
     def __init__(self, k: int, dmin_thres: int = 2, n_shards: int = 1,
                  compact_singles: bool = True, raw_lsm: bool | None = None,
-                 raw_budget_bytes: int = 2 << 30):
+                 raw_budget_bytes: int | None = None):
         self.k = k
         self.m = minimizer_len_for_k(k)
         self.dmin_thres = dmin_thres
@@ -143,6 +143,21 @@ class KmerCountStore:
             raw_lsm = jax.default_backend() == "tpu"
         self.raw_lsm = raw_lsm
         self._raw_packed = C.payload_fits_in_keys(k, words32_for_k(k))
+        if raw_budget_bytes is None:
+            # the collapse's transient working set is ~7x the raw bytes it
+            # folds (pow2-padded merge tree + the 7-lane scan/split over the
+            # merged run), so the budget must be a small fraction of DEVICE
+            # memory — sizing from HBM like the reference sizes its GPU
+            # table from device memory (kcount_gpu.cpp:175-196). A 2 GiB
+            # budget OOMed a 16 GiB v5e at arctic scale (27 Mbp, 2.16M
+            # reads): 17 raw blocks collapsed into one ~270M-row split.
+            from ..utils.memlog import get_free_device_mem_bytes
+
+            dev_free = get_free_device_mem_bytes()
+            raw_budget_bytes = (
+                min(2 << 30, max(256 << 20, dev_free // 24)) if dev_free
+                else 2 << 30
+            )
         self.raw_budget_bytes = raw_budget_bytes
         self.raw_runs: list[tuple] = []  # sorted packed lanes per block
         # plain: (words, count, l4, r4, n_unique)

@@ -301,11 +301,16 @@ class Assembler:
         # memory pre-flight (reference kmer_dht.cpp:119-131, main.cpp:107-130)
         est = self._estimate_num_kmers(k)
         from ..constants import words32_for_k
-        from ..utils.memlog import get_free_mem_bytes
+        from ..utils.memlog import get_free_device_mem_bytes, get_free_mem_bytes
 
         bytes_per_rec = 4 * words32_for_k(k) + 8 + 2 * 32  # words + count + exts
         want = est * bytes_per_rec * 2  # LSM transient factor
         free = get_free_mem_bytes()
+        # on accelerators the binding constraint is device HBM, not host RAM
+        # (reference sizes from device memory, kcount_gpu.cpp:175-196)
+        dev_free = get_free_device_mem_bytes()
+        if dev_free:
+            free = min(free, dev_free)
         if want > 0.8 * free:
             self.log.warning(
                 f"k={k}: estimated {est} kmer records (~{want>>20} MiB) vs "
@@ -319,7 +324,11 @@ class Assembler:
         # the block's records (sort operands + dedup + split); halve the block
         # until that fits the free-memory budget instead of OOMing
         B = resolve_block_reads(cfg.block_reads)
-        while B > 1024 and 6 * B * (L - k + 1) * bytes_per_rec > 0.5 * free:
+        # a push's transient is ~6 capacity copies of the block's RAW records
+        # (sort operands + dedup/split) — raw rows are key words (+1 payload
+        # lane), far smaller than the per-unique table rows estimated above
+        raw_rec_bytes = 4 * (words32_for_k(k) + 1)
+        while B > 1024 and 6 * B * (L - k + 1) * raw_rec_bytes > 0.5 * free:
             B //= 2
         if B != resolve_block_reads(cfg.block_reads):
             self.log.warning(f"k={k}: block-size backoff to {B} reads/block to fit memory")

@@ -18,6 +18,29 @@ def get_free_mem_bytes() -> int:
     return 0
 
 
+def get_free_device_mem_bytes() -> int:
+    """Free bytes on the default accelerator (HBM), 0 if unknown/CPU.
+
+    The memory that actually bounds the counting pipeline on TPU is device
+    HBM, not host RAM (the reference sizes its GPU hash table from device
+    memory the same way, kcount_gpu.cpp:175-196)."""
+    import jax
+
+    d = jax.devices()[0]
+    if d.platform == "cpu":
+        return 0
+    try:
+        st = d.memory_stats()
+        return int(st["bytes_limit"]) - int(st.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    if d.platform == "tpu":
+        # stats unavailable through the remote-tunnel PJRT plugin: assume a
+        # v5e-class 16 GiB chip rather than pretending memory is unbounded
+        return 16 << 30
+    return 0
+
+
 class MemoryTracker:
     def __init__(self, log_path: str, interval_s: float = 2.0, swing_bytes: int = 1 << 30):
         self.log_path = log_path
