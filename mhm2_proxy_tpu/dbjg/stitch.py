@@ -38,6 +38,73 @@ def _doubling(succ, rounds):
     return nxt, d, term
 
 
+def _state_bases(words, k: int, S: int):
+    """Per-state emitted base: exit R -> last base; exit L -> comp(first)."""
+    words = np.asarray(words)
+    w_last = (k - 1) // 16
+    sh_last = 2 * (15 - ((k - 1) % 16))
+    first_b = (words[:, 0] >> np.uint32(30)).astype(np.int64) & 3
+    last_b = (words[:, w_last] >> np.uint32(sh_last)).astype(np.int64) & 3
+    state_port = np.arange(S, dtype=np.int64) & 1
+    state_node = np.arange(S, dtype=np.int64) >> 1
+    return np.where(state_port == 1, last_b[state_node], 3 - first_b[state_node])
+
+
+def _render_contigs(starts, n_states, depth_sum, buf, offsets, words, k: int):
+    """Shared contig text emission: oriented head k-mers + canonicalize."""
+    s_nodes = starts >> 1
+    s_fwd = (starts & 1) == 1
+    words = np.asarray(words)
+    kmers = bk.codes_from_words(words[s_nodes], k)  # (n_paths, k) device op
+    kmers = np.asarray(kmers).astype(np.uint8)
+    rc = (3 - kmers[:, ::-1]).astype(np.uint8)
+    oriented = np.where(s_fwd[:, None], kmers, rc)
+    kpos = offsets[:-1, None] + np.arange(k)[None, :]
+    buf[kpos.reshape(-1)] = oriented.reshape(-1)
+
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    comp_tbl = str.maketrans("ACGT", "TGCA")
+    out = []
+    for p in range(starts.shape[0]):
+        seq = lut[buf[offsets[p] : offsets[p + 1]]].tobytes().decode()
+        rc_s = seq.translate(comp_tbl)[::-1]
+        if rc_s < seq:
+            seq = rc_s
+        out.append((seq, depth_sum[p] / (len(seq) - k + 2)))
+    return out
+
+
+def _stitch_native(succ, state_valid, words, count, k: int):
+    """Sequential C++ walker (native/stitch_native.cpp): O(S) hops instead
+    of the doubling's O(S log S) random gathers — ~50x at arctic scale.
+    Returns None when the native library is unavailable."""
+    try:
+        from ..io.native import get_stitch_walk
+
+        walk = get_stitch_walk()
+    except Exception:
+        walk = None
+    if walk is None:
+        return None
+    S = succ.shape[0]
+    base = _state_bases(words, k, S).astype(np.uint8)
+    succ_n = np.where(state_valid, succ, np.int64(-2)).astype(np.int64)
+    counts = np.ascontiguousarray(np.asarray(count), np.int32)
+    max_paths = S + 1
+    cap = S + (k - 1) * max_paths
+    buf = np.empty(cap, np.uint8)
+    starts = np.empty(max_paths, np.int64)
+    nst = np.empty(max_paths, np.int64)
+    dep = np.empty(max_paths, np.int64)
+    n_paths = walk(succ_n, base, counts, k, buf, starts, nst, dep)
+    if n_paths < 0:
+        return None
+    starts, nst, dep = starts[:n_paths], nst[:n_paths], dep[:n_paths]
+    offsets = np.zeros(n_paths + 1, np.int64)
+    np.cumsum((k - 1) + nst, out=offsets[1:])
+    return _render_contigs(starts, nst, dep, buf, offsets, words, k)
+
+
 def stitch_paths(edges: dict, words, count, k: int):
     """Path decomposition -> list of (canonical seq, depth)."""
     uu = np.asarray(edges["uu"])
@@ -57,6 +124,10 @@ def stitch_paths(edges: dict, words, count, k: int):
     succ[2 * node + 1] = np.where(r_ok & uu, 2 * r_idx + (1 - r_port), -1)
     succ[2 * node] = np.where(l_ok & uu, 2 * l_idx + (1 - l_port), -1)
     state_valid = np.repeat(uu, 2)
+
+    native = _stitch_native(succ, state_valid, words, count, k)
+    if native is not None:
+        return native
 
     rounds = max(1, int(np.ceil(np.log2(S + 1))) + 1)
     nxt, d, term = _doubling(succ, rounds)
@@ -113,13 +184,8 @@ def stitch_paths(edges: dict, words, count, k: int):
     # emitted base per state: exit R -> last base; exit L -> comp(first base)
     words = np.asarray(words)
     count = np.asarray(count, np.int64)
-    w_last = (k - 1) // 16
-    sh_last = 2 * (15 - ((k - 1) % 16))
-    first_b = (words[:, 0] >> np.uint32(30)).astype(np.int64) & 3
-    last_b = (words[:, w_last] >> np.uint32(sh_last)).astype(np.int64) & 3
-    state_port = np.arange(S, dtype=np.int64) & 1
     state_node = np.arange(S, dtype=np.int64) >> 1
-    base = np.where(state_port == 1, last_b[state_node], 3 - first_b[state_node])
+    base = _state_bases(words, k, S)
 
     # contig buffer layout
     clen = k + plen - 1
@@ -130,27 +196,8 @@ def stitch_paths(edges: dict, words, count, k: int):
     # it lands at offset + k-1 + 0 which the start k-mer write also covers)
     dst = offsets[path_of_state[on_path]] + (k - 1) + pos[on_path]
     buf[dst] = base[on_path]
-    # start kmers: oriented full k bases
-    s_nodes = state_node[starts]
-    s_fwd = state_port[starts] == 1
-    kmers = bk.codes_from_words(words[s_nodes], k)  # (n_paths, k) device op
-    kmers = np.asarray(kmers).astype(np.uint8)
-    rc = (3 - kmers[:, ::-1]).astype(np.uint8)
-    oriented = np.where(s_fwd[:, None], kmers, rc)
-    kpos = offsets[:-1, None] + np.arange(k)[None, :]
-    buf[kpos.reshape(-1)] = oriented.reshape(-1)
-
     # depths: one state per node on each path
     depth_sum = np.zeros(n_paths, np.int64)
     np.add.at(depth_sum, path_of_state[on_path], count[state_node[on_path]])
 
-    lut = np.frombuffer(b"ACGT", np.uint8)
-    comp_tbl = str.maketrans("ACGT", "TGCA")
-    out = []
-    for p in range(n_paths):
-        seq = lut[buf[offsets[p] : offsets[p + 1]]].tobytes().decode()
-        rc_s = seq.translate(comp_tbl)[::-1]
-        if rc_s < seq:
-            seq = rc_s
-        out.append((seq, depth_sum[p] / (len(seq) - k + 2)))
-    return out
+    return _render_contigs(starts, plen, depth_sum, buf, offsets, words, k)

@@ -63,8 +63,47 @@ def _load():
         lib._has_merge = False
     else:
         lib._has_merge = True
+    try:
+        lib.stitch_walk.restype = ctypes.c_int64
+        lib.stitch_walk.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+    except AttributeError:
+        lib._has_stitch = False
+    else:
+        lib._has_stitch = True
     _lib = lib
     return lib
+
+
+def get_stitch_walk():
+    """Callable wrapping the native sequential stitcher, or None.
+
+    Signature: walk(succ (S,) i64, base (S,) u8, counts (n,) i32, k,
+    out_buf u8, out_start i64, out_nstates i64, out_depth i64) -> n_paths.
+    """
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_stitch", False):
+        return None
+
+    def walk(succ, base, counts, k, buf, starts, nst, dep):
+        return lib.stitch_walk(
+            succ.shape[0], int(k),
+            succ.ctypes.data_as(ctypes.c_void_p),
+            base.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p),
+            buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0],
+            starts.ctypes.data_as(ctypes.c_void_p),
+            nst.ctypes.data_as(ctypes.c_void_p),
+            dep.ctypes.data_as(ctypes.c_void_p),
+            starts.shape[0],
+        )
+
+    return walk
 
 
 def native_available() -> bool:

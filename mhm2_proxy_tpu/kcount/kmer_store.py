@@ -153,9 +153,12 @@ class KmerCountStore:
             # reads): 17 raw blocks collapsed into one ~270M-row split.
             from ..utils.memlog import get_free_device_mem_bytes
 
+            # /48: the collapse transient (~7x) plus the split-LSM cascade
+            # peak (~3x the two largest deduped runs) must fit alongside
+            # allocator fragmentation accumulated over earlier k rounds
             dev_free = get_free_device_mem_bytes()
             raw_budget_bytes = (
-                min(2 << 30, max(256 << 20, dev_free // 24)) if dev_free
+                min(2 << 30, max(256 << 20, dev_free // 48)) if dev_free
                 else 2 << 30
             )
         self.raw_budget_bytes = raw_budget_bytes
@@ -235,7 +238,10 @@ class KmerCountStore:
         return run[0].shape[0] + run[5].shape[0]
 
     def _merge_split(self, a, b):
-        run = C.merge_split4(
+        # donated: a and b are popped from the LSM before this call, so
+        # their buffers can alias the merge temporaries (the cascade merge
+        # of two collapsed runs is the arctic-scale HBM peak)
+        run = C.merge_split4_donated(
             a[:4], C.expand_singles(a[5], a[6], a[7]),
             b[:4], C.expand_singles(b[5], b[6], b[7]),
         )
@@ -267,11 +273,13 @@ class KmerCountStore:
             return
         W = words32_for_k(self.k)
         if self._raw_packed:
-            merged = C.merge_raw_runs(self.raw_runs)
-            run = C.split_from_sorted_packed(merged, self.k, W)
+            merged = C.merge_raw_runs(self.raw_runs, donate=True)
+            run = C.split_from_sorted_packed_donated(merged, self.k, W)
         else:
-            merged = C.merge_raw_runs(self.raw_runs, kw=len(self.raw_runs[0]) - 1)
-            run = C.split_from_sorted_sep(merged, self.k, W)
+            merged = C.merge_raw_runs(
+                self.raw_runs, kw=len(self.raw_runs[0]) - 1, donate=True
+            )
+            run = C.split_from_sorted_sep_donated(merged, self.k, W)
         self.raw_runs = []
         ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
         if self.compact_singles:
@@ -346,13 +354,13 @@ class KmerCountStore:
             else:
                 W = words32_for_k(self.k)
                 if self._raw_packed:
-                    merged = C.merge_raw_runs(self.raw_runs)
-                    final_fn = C.final_from_sorted_packed
+                    merged = C.merge_raw_runs(self.raw_runs, donate=True)
+                    final_fn = C.final_from_sorted_packed_donated
                 else:
                     merged = C.merge_raw_runs(
-                        self.raw_runs, kw=len(self.raw_runs[0]) - 1
+                        self.raw_runs, kw=len(self.raw_runs[0]) - 1, donate=True
                     )
-                    final_fn = C.final_from_sorted_sep
+                    final_fn = C.final_from_sorted_sep_donated
                 self.raw_runs = []
                 if c is None:
                     out = final_fn(
@@ -382,12 +390,12 @@ class KmerCountStore:
                 self.runs.append(self._trim(run, int(h[0]), int(h[1])))
             if self.runs:
                 if c is None:
-                    out = C.final_fold_runs(
+                    out = C.final_fold_runs_donated(
                         tuple(self.runs), dmin_thres=self.dmin_thres, purge=True
                     )
                     self.runs = []
                     return FinalTable(self.k, *out)
-                merged = C.final_fold_runs(
+                merged = C.final_fold_runs_donated(
                     tuple(self.runs), dmin_thres=self.dmin_thres, purge=False
                 )
                 self.runs = []

@@ -298,6 +298,12 @@ class Assembler:
         """One contigging round (reference contigging.cpp:93-158)."""
         cfg = self.cfg
         t0 = time.time()
+        # drop any device buffers the previous round left reachable before
+        # this round's memory pre-flight sizes its budgets (at arctic scale
+        # successive k rounds otherwise stack fragmentation until an OOM)
+        import gc
+
+        gc.collect()
         # memory pre-flight (reference kmer_dht.cpp:119-131, main.cpp:107-130)
         est = self._estimate_num_kmers(k)
         from ..constants import words32_for_k

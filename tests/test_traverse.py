@@ -114,3 +114,51 @@ def test_stitch_doubling_equals_walker(rng):
         a = sorted((s, round(d, 9)) for s, d in stitch_paths(edges, t.words, t.count, k))
         b = sorted((s, round(d, 9)) for s, d in stitch_paths_walk(edges, t.words, t.count, k))
         assert a == b, kind
+
+
+def test_stitch_native_equals_doubling(rng, monkeypatch):
+    """Native sequential walker (native/stitch_native.cpp) == the numpy
+    pointer-doubling stitcher, across paths, cycles, palindromic loops,
+    and isolated nodes (same graph zoo as the walker test plus an
+    inverted-repeat loop that traverses nodes in both orientations)."""
+    from mhm2_proxy_tpu.io.native import get_stitch_walk
+    from mhm2_proxy_tpu.kcount import KmerCountStore
+    from mhm2_proxy_tpu.dbjg.traverse import build_edges
+    from mhm2_proxy_tpu.dbjg import stitch as ST
+
+    if get_stitch_walk() is None:
+        import pytest
+
+        pytest.skip("native stitcher unavailable")
+
+    def revcomp(s):
+        return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+    k = 21
+    cases = {}
+    cases["linear"] = "".join(rng.choice(list("ACGT"), size=400))
+    g = "".join(rng.choice(list("ACGT"), size=150))
+    cases["cycle"] = g + g[: k + 30]
+    h = "".join(rng.choice(list("ACGT"), size=120))
+    # inverted-repeat (revcomp-palindromic) loop: h followed by its revcomp
+    pal = h + revcomp(h)
+    cases["palindrome"] = pal + pal[: k + 30]
+    cases["isolated"] = (
+        "".join(rng.choice(list("ACGT"), size=60))
+        + "".join(rng.choice(list("ACGT"), size=400))
+    )
+
+    for kind, genome in cases.items():
+        reads = coverage_reads(genome, k, rng, n=200)
+        store = KmerCountStore(k)
+        codes, qual_ok, lens = reads_to_block(reads)
+        store.add_reads_block(codes, qual_ok, lens)
+        t = store.finalize()
+        edges = build_edges(t.words, t.count, t.left, t.right, t.n, k)
+        a = sorted((s, round(d, 9))
+                   for s, d in ST.stitch_paths(edges, t.words, t.count, k))
+        monkeypatch.setattr(ST, "_stitch_native", lambda *args: None)
+        b = sorted((s, round(d, 9))
+                   for s, d in ST.stitch_paths(edges, t.words, t.count, k))
+        monkeypatch.undo()
+        assert a == b, kind
