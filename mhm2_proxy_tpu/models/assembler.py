@@ -416,6 +416,9 @@ class Assembler:
     # cells (rows x padded length) per ctg-pass block: bounds both the device
     # working set and the extraction work per dispatch
     CTG_CELL_BUDGET = 1 << 19
+    # longest contig window fed to extraction (longer contigs chop with k-1
+    # overlap); caps the compile shape zoo at L <= 4096
+    CTG_MAX_SEG = 4096
 
     def _add_ctg_kmers(self, store, k: int):
         """Second pass: contig k-mers with depth (reference kcount.cpp:100-138).
@@ -432,6 +435,22 @@ class Assembler:
         ctgs = [c for c in self.contigs if len(c.seq) >= k + 2]
         if not ctgs:
             return
+        # contigs longer than CTG_MAX_SEG are chopped into windows with a
+        # k-1 overlap: the k-mer multiset is identical (every k-mer appears
+        # in exactly one window) while the extraction shape stays bounded —
+        # a (16, 32768) long-contig block crashed the remote XLA compile
+        # helper at arctic scale, and the reference's 3 MB seq-block packing
+        # bounds its shapes the same way (kcount.cpp:100-138)
+        seg = self.CTG_MAX_SEG
+        chopped = []
+        for c in ctgs:
+            if len(c.seq) <= seg:
+                chopped.append(c)
+            else:
+                step = seg - (k - 1)
+                for s in range(0, len(c.seq) - (k - 1), step):
+                    chopped.append(Contig(c.id, c.seq[s : s + seg], c.depth))
+        ctgs = chopped
         row_q = 8 if cfg.n_shards == 0 else max(8, cfg.n_shards)
         buckets: dict[int, list] = {}
         for c in ctgs:

@@ -59,8 +59,12 @@ def main():
         )
     )
     n_reads = 0
+    from mhm2_proxy_tpu.io.fasta import write_fasta
+
     for g in range(args.genomes):
         genome = random_genome(rng, per)
+        # saved for the post-run metaquast-style quality gate
+        write_fasta(os.path.join(args.out, f"genome{g}.fasta"), [(g, genome, 1.0)])
         ids, seqs, quals = simulate_reads(
             rng, genome, coverage=args.coverage, read_len=args.read_len, err_rate=0.002
         )
@@ -96,6 +100,23 @@ def main():
             "assembly": stats,
         },
     }))
+    # quality gate vs the recorded golden (ci/good-arctic-scale.txt), same
+    # metric engine as the CI tiers; prints metrics either way
+    import glob
+    import subprocess
+
+    golden = os.path.join(os.path.dirname(__file__), "..", "ci",
+                          "good-arctic-scale.txt")
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(__file__), "..", "ci", "check_asm_quality.py"),
+           "--assembly", os.path.join(args.out, "final_assembly.fasta"),
+           "--genomes", *sorted(glob.glob(os.path.join(args.out, "genome*.fasta"))),
+           "--threshold", "0.02"]
+    if os.path.exists(golden):
+        cmd += ["--golden", golden]
+    r = subprocess.run(cmd)
+    if os.path.exists(golden) and r.returncode != 0:
+        sys.exit(2)
 
 
 if __name__ == "__main__":
