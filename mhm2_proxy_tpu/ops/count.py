@@ -87,9 +87,7 @@ def read_kmer_records(codes, qual_ok, lens, k: int, m: int, n_shards: int = 1, d
     B, L = codes.shape
     P = L - k + 1
     if use_pallas is None:
-        from . import kernels
-
-        use_pallas = kernels.enabled("extract")
+        use_pallas = _extract_pallas_ok(L)
     if use_pallas:
         from .pallas_extract import extract_record_lanes
 
@@ -272,6 +270,20 @@ def _group_sums_bounded(words, count, l4, r4, mult: int):
     is_last = jnp.concatenate([neq, jnp.ones((1,), bool)])
     is_sent = jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
     return jnp.minimum(pay, MAX_KMER_COUNT), is_last, is_sent
+
+
+
+def _extract_pallas_ok(L: int) -> bool:
+    """Extraction-kernel gate: enabled AND the padded read length fits the
+    kernel's VMEM budget. The fused extract kernel stages whole (rows, L)
+    blocks in VMEM; at L=4096 (long-contig ctg-pass blocks) its scoped
+    allocation hit 60.6M vs the 16M limit and the remote compile helper
+    crashed. Reads never exceed ~2x read_len (~320 padded), so 512 covers
+    every read shape; longer rows (ctg windows) take the jnp extraction.
+    """
+    from . import kernels
+
+    return kernels.enabled("extract") and L <= 512
 
 
 def _pallas_compact_ok(N: int, *names: str) -> bool:
@@ -907,9 +919,7 @@ def block_to_split_run(codes, qual_ok, lens, k: int, m: int):
     plus a stacked (n_multi, n_single) pair so the caller's occupancy fetch
     (needed for the trim slice sizes) is a single transfer.
     """
-    from . import kernels
-
-    if kernels.enabled("extract"):
+    if _extract_pallas_ok(codes.shape[1]):
         from ..constants import words32_for_k
         from .pallas_extract import extract_packed_lanes, extract_record_lanes
 
@@ -962,9 +972,7 @@ def block_to_raw_run(codes, qual_ok, lens, k: int):
 
     W = words32_for_k(k)
     assert payload_fits_in_keys(k, W), k
-    from . import kernels
-
-    if kernels.enabled("extract"):
+    if _extract_pallas_ok(codes.shape[1]):
         from .pallas_extract import extract_packed_lanes
 
         lanes = extract_packed_lanes(codes, qual_ok, lens, k)
@@ -993,9 +1001,7 @@ def block_to_raw_run_sep(codes, qual_ok, lens, k: int):
     lane (count=1 | left << 16 | right << 24; 0 on sentinel rows), sorted by
     the key lanes (payload rides the sort)."""
     weff = -(-2 * k // 32)
-    from . import kernels
-
-    if kernels.enabled("extract"):
+    if _extract_pallas_ok(codes.shape[1]):
         from .pallas_extract import extract_record_lanes
 
         lanes, pay = extract_record_lanes(codes, qual_ok, lens, k)
@@ -1016,12 +1022,13 @@ def block_to_raw_run_sep(codes, qual_ok, lens, k: int):
     return out
 
 
-def merge_raw_runs(runs, kw: int | None = None):
+def merge_raw_runs(runs, kw: int | None = None, donate: bool = False):
     """Balanced pairwise merge tree over sorted raw runs -> one sorted
     tuple of lanes. kw = number of leading key lanes (default: all lanes,
     the packed layout; the separate-payload layout passes len-1). TPU:
     Pallas bitonic merges (mid-padded to pow2, pads sliced back off);
-    elsewhere one lax.sort per pair."""
+    elsewhere one lax.sort per pair. donate=True hands each pair's buffers
+    to XLA (callers that own the runs — the LSM — halve peak memory)."""
     runs = [tuple(r) for r in runs]
     if kw is None:
         kw = len(runs[0])
@@ -1033,9 +1040,14 @@ def merge_raw_runs(runs, kw: int | None = None):
         for i in range(0, len(runs) - 1, 2):
             a, b = runs[i], runs[i + 1]
             if on_tpu:
-                from .pallas_sort import merge_sorted_lanes_padded
+                from .pallas_sort import (
+                    merge_sorted_lanes_padded,
+                    merge_sorted_lanes_padded_donated,
+                )
 
-                nxt.append(merge_sorted_lanes_padded(a, b, kw=kw))
+                mfn = (merge_sorted_lanes_padded_donated if donate
+                       else merge_sorted_lanes_padded)
+                nxt.append(mfn(a, b, kw=kw))
             else:
                 cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
                 nxt.append(jax.lax.sort(cat, num_keys=kw, is_stable=False))
@@ -1298,3 +1310,33 @@ def finalize_table(u_words, u_count, u_l4, u_r4, n_unique, dmin_thres: int = 2):
     w_s, pay, n_kept = _compact_keep(u_words, keep, (packed,))
     cnt_s, left_s, right_s = _unpack_cnt_ext(pay)
     return (w_s, cnt_s, left_s, right_s, n_kept)
+
+# ---------------------------------------------------------------------------
+# Donated variants: identical semantics, but the inputs' device buffers are
+# DONATED to XLA (aliased into outputs/temporaries). The LSM call sites
+# always consume their inputs (runs are popped before merging), and at
+# arctic scale (27 Mbp single chip) the non-donated forms held input +
+# output + merge-tree temporaries simultaneously — the peak that OOMed a
+# 16 GiB v5e. Donation at the top-level jit boundary roughly halves it.
+# ---------------------------------------------------------------------------
+
+merge_split4_donated = jax.jit(merge_split4.__wrapped__, donate_argnums=(0, 1, 2, 3))
+merge_aggregates_donated = jax.jit(merge_aggregates.__wrapped__, donate_argnums=tuple(range(8)))
+split_from_sorted_packed_donated = jax.jit(
+    split_from_sorted_packed.__wrapped__, static_argnames=("k", "W"), donate_argnums=(0,)
+)
+split_from_sorted_sep_donated = jax.jit(
+    split_from_sorted_sep.__wrapped__, static_argnames=("k", "W"), donate_argnums=(0,)
+)
+final_from_sorted_packed_donated = jax.jit(
+    final_from_sorted_packed.__wrapped__,
+    static_argnames=("k", "W", "dmin_thres", "purge"), donate_argnums=(0,),
+)
+final_from_sorted_sep_donated = jax.jit(
+    final_from_sorted_sep.__wrapped__,
+    static_argnames=("k", "W", "dmin_thres", "purge"), donate_argnums=(0,),
+)
+final_fold_runs_donated = jax.jit(
+    final_fold_runs.__wrapped__,
+    static_argnames=("dmin_thres", "purge"), donate_argnums=(0,),
+)
