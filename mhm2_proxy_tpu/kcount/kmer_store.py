@@ -304,14 +304,19 @@ class KmerCountStore:
     # -- contig pass (rounds >= 2) ----------------------------------------
 
     def add_ctgs_block(self, codes, lens, depths):
-        """Add contig k-mers with per-contig depth (reference kcount.cpp:100-138)."""
+        """Add contig k-mers with per-contig depth (reference kcount.cpp:100-138).
+
+        Pushed runs are padded to pow2 rows (sentinel tails): the ctg-LSM
+        cascade otherwise concatenates arbitrary mixed sizes and every merge
+        compiles a NEW shape — ~one tunnel compile per block at arctic
+        scale; pow2 runs bound the whole cascade to a handful of shapes."""
         qual_ok = jnp.ones_like(jnp.asarray(codes), bool)
         rec = C.read_kmer_records(
             jnp.asarray(codes), qual_ok, jnp.asarray(lens), self.k, self.m,
             depth=jnp.asarray(depths),
         )
         agg = _aggregate_ctg_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
-        self._push_run(self.ctg_runs, agg, _merge_ctg_aggregates)
+        self._push_run(self.ctg_runs, _pad_ctg_pow2(agg), _merge_ctg_padded)
 
     # -- finalize ----------------------------------------------------------
 
@@ -341,7 +346,7 @@ class KmerCountStore:
         while len(self.ctg_runs) > 1:
             b = self.ctg_runs.pop()
             a = self.ctg_runs.pop()
-            self.ctg_runs.append(_merge_ctg_aggregates(*a[:4], *b[:4]))
+            self.ctg_runs.append(_merge_ctg_padded(*a[:4], *b[:4]))
         return self.ctg_runs[0] if self.ctg_runs else None
 
     def finalize(self) -> FinalTable:
@@ -416,6 +421,28 @@ class KmerCountStore:
 # ---------------------------------------------------------------------------
 # contig-kmer aggregation: track (min pair, max pair, min depth) per kmer
 # ---------------------------------------------------------------------------
+
+
+def _pad_ctg_pow2(agg):
+    """Pad a deduped ctg run to pow2 rows with sentinel tails.
+
+    Keeps every run in the ctg LSM at a pow2 size, so cascade merges only
+    ever see (2^a, 2^b) operand shapes — a handful of compiles instead of
+    one per concatenation size (each a ~minute over the remote tunnel)."""
+    w, pmin, pmax, dmin, n = agg
+    N = w.shape[0]
+    P = 1 << max(8, (N - 1).bit_length())
+    if P == N:
+        return agg
+    pad = P - N
+    w = jnp.concatenate([w, jnp.full((pad, w.shape[1]), 0xFFFFFFFF, jnp.uint32)])
+    z = jnp.zeros((pad,), pmin.dtype)
+    return (w, jnp.concatenate([pmin, z]), jnp.concatenate([pmax, z]),
+            jnp.concatenate([dmin, z]), n)
+
+
+def _merge_ctg_padded(*args):
+    return _pad_ctg_pow2(_merge_ctg_aggregates(*args))
 
 
 def _pack_ctg(pmin, pmax, dmin):

@@ -418,60 +418,55 @@ class Assembler:
     CTG_CELL_BUDGET = 1 << 19
     # longest contig window fed to extraction (longer contigs chop with k-1
     # overlap); caps the compile shape zoo at L <= 4096
-    CTG_MAX_SEG = 4096
+    CTG_MAX_SEG = 2048
 
     def _add_ctg_kmers(self, store, k: int):
         """Second pass: contig k-mers with depth (reference kcount.cpp:100-138).
 
-        Contigs are binned into power-of-two length buckets and each bucket
-        packs blocks padded to ITS width, not the global max: with
-        reference-like skew (N50 ~1.9 kb, largest 71 kb) padding every block
-        to the longest contig inflates cells ~35x and recompiles per new max
-        length. Pow2 buckets bound cell waste at <2x and keep the compile
-        shape set fixed across rounds (the reference's 3 MB seq-block packing
-        plays the same role, kcount.cpp:100-138 + KCOUNT_SEQ_BLOCK_SIZE).
+        ALL contigs are chopped into windows of at most CTG_MAX_SEG bases
+        with a k+1 overlap — a window's valid k-mers are those with BOTH
+        extension bases in-window (positions 1..len-k-1), so the k+1 overlap
+        makes consecutive windows' valid ranges exactly contiguous: every
+        interior k-mer lands in exactly one window WITH its true left/right
+        ext bases (multiset and ext calls unchanged; per-window depth =
+        contig depth),
+        then packed into ONE fixed (rows, CTG_MAX_SEG) block shape. One
+        shape means exactly one extraction + one aggregation compile per k —
+        pow2 length-bucketing compiled ~7 shapes per round, each a multi-
+        minute XLA:TPU compile over the remote tunnel at arctic scale, which
+        dominated the whole round. The reference's fixed 3 MB seq-block
+        packing bounds its shapes the same way (kcount.cpp:100-138 +
+        KCOUNT_SEQ_BLOCK_SIZE); cell waste from short contigs is ~3x at
+        reference-like N50, a few ms of vectorized extraction.
         """
         cfg = self.cfg
         ctgs = [c for c in self.contigs if len(c.seq) >= k + 2]
         if not ctgs:
             return
-        # contigs longer than CTG_MAX_SEG are chopped into windows with a
-        # k-1 overlap: the k-mer multiset is identical (every k-mer appears
-        # in exactly one window) while the extraction shape stays bounded —
-        # a (16, 32768) long-contig block crashed the remote XLA compile
-        # helper at arctic scale, and the reference's 3 MB seq-block packing
-        # bounds its shapes the same way (kcount.cpp:100-138)
+        import jax
+
         seg = self.CTG_MAX_SEG
-        chopped = []
+        windows = []  # (seq, depth)
         for c in ctgs:
             if len(c.seq) <= seg:
-                chopped.append(c)
+                windows.append((c.seq, c.depth))
             else:
-                step = seg - (k - 1)
-                for s in range(0, len(c.seq) - (k - 1), step):
-                    chopped.append(Contig(c.id, c.seq[s : s + seg], c.depth))
-        ctgs = chopped
+                step = seg - (k + 1)
+                for st in range(0, len(c.seq) - (k + 1), step):
+                    windows.append((c.seq[st : st + seg], c.depth))
         row_q = 8 if cfg.n_shards == 0 else max(8, cfg.n_shards)
-        buckets: dict[int, list] = {}
-        for c in ctgs:
-            L = max(64, 1 << (len(c.seq) - 1).bit_length())
-            buckets.setdefault(L, []).append(c)
-        for L, group in sorted(buckets.items()):
-            B = max(row_q, self.CTG_CELL_BUDGET // L // row_q * row_q)
-            for s in range(0, len(group), B):
-                chunk = group[s : s + B]
-                # last block shrinks to pow2 of its occupancy (shapes stay a
-                # small pow2 x pow2 set; row padding stays <2x)
-                Bc = min(B, max(row_q, 1 << (len(chunk) - 1).bit_length()))
-                Bc = -(-Bc // row_q) * row_q
-                codes = np.full((Bc, L), 4, np.uint8)
-                lens = np.zeros(Bc, np.int32)
-                deps = np.zeros(Bc, np.int32)
-                for i, c in enumerate(chunk):
-                    codes[i, : len(c.seq)] = ascii_to_codes(c.seq.encode())
-                    lens[i] = len(c.seq)
-                    deps[i] = min(max(int(c.depth), 0), 0xFFFF)
-                store.add_ctgs_block(codes, lens, deps)
+        cells = self.CTG_CELL_BUDGET * (8 if jax.default_backend() == "tpu" else 1)
+        B = max(row_q, cells // seg // row_q * row_q)
+        for s0 in range(0, len(windows), B):
+            chunk = windows[s0 : s0 + B]
+            codes = np.full((B, seg), 4, np.uint8)
+            lens = np.zeros(B, np.int32)
+            deps = np.zeros(B, np.int32)
+            for i, (seq, depth) in enumerate(chunk):
+                codes[i, : len(seq)] = ascii_to_codes(seq.encode())
+                lens[i] = len(seq)
+                deps[i] = min(max(int(depth), 0), 0xFFFF)
+            store.add_ctgs_block(codes, lens, deps)
 
     def run(self, kmer_lens=None) -> list[Contig]:
         for k in kmer_lens or self.cfg.kmer_lens:

@@ -97,15 +97,22 @@ def test_ctg_pass_bucketed_blocking_matches_monolithic(rng):
             blocks.append((codes.copy(), lens.copy(), deps.copy()))
 
     asm._add_ctg_kmers(SpyStore(), k)
-    # cell waste bound: pow2 length padding is <2x per contig; row padding
-    # is bounded by the row quantum per block (amortized at scale)
-    cells = sum(c.shape[0] * c.shape[1] for c, _, _ in blocks)
-    live = sum(int(l.sum()) for _, l, _ in blocks)
-    allowed = 2 * live + sum(8 * c.shape[1] for c, _, _ in blocks)
-    assert cells <= allowed, (cells, live, allowed)
-    # shape set is small and would be identical next round
+    # ONE fixed (rows, CTG_MAX_SEG) shape: each distinct ctg shape costs a
+    # multi-minute XLA:TPU compile over the remote tunnel per k round, so
+    # the pass chops every contig into <= CTG_MAX_SEG windows (k-1 overlap)
+    # and always packs the same block shape; the minimal number of blocks
     shapes = {c.shape for c, _, _ in blocks}
-    assert len(shapes) <= 4, shapes
+    assert len(shapes) == 1, shapes
+    (B, L), = shapes
+    assert L == asm.CTG_MAX_SEG
+    n_windows = sum(int((l > 0).sum()) for _, l, _ in blocks)
+    assert len(blocks) == -(-n_windows // B), (len(blocks), n_windows, B)
+    # every long contig chopped with k+1 overlap: window count checks out
+    exp_windows = sum(
+        1 if len(sq) <= L else len(range(0, len(sq) - (k + 1), L - (k + 1)))
+        for sq in seqs
+    )
+    assert n_windows == exp_windows
 
     # table equality vs a single monolithic max-padded block
     s1 = KmerCountStore(k)
