@@ -153,12 +153,14 @@ class KmerCountStore:
             # reads): 17 raw blocks collapsed into one ~270M-row split.
             from ..utils.memlog import get_free_device_mem_bytes
 
-            # /48: the collapse transient (~7x) plus the split-LSM cascade
+            # /64: the collapse transient (~7x) plus the split-LSM cascade
             # peak (~3x the two largest deduped runs) must fit alongside
-            # allocator fragmentation accumulated over earlier k rounds
+            # resident runs and allocator fragmentation accumulated across
+            # k rounds; W grows with k (k=33 rows are 1.5x k=21's), so the
+            # margin must cover the widest round, not the first
             dev_free = get_free_device_mem_bytes()
             raw_budget_bytes = (
-                min(2 << 30, max(256 << 20, dev_free // 48)) if dev_free
+                min(2 << 30, max(128 << 20, dev_free // 64)) if dev_free
                 else 2 << 30
             )
         self.raw_budget_bytes = raw_budget_bytes
