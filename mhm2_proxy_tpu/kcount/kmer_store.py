@@ -116,6 +116,68 @@ def render_kmer_dump(words, count, left, right, k: int) -> bytes:
     return out.tobytes()
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _slice_range(arrs, start, width, size: int):
+    """Take `size` rows at `start` from each array; rows outside
+    [start, start+width) are sentinelized (all-ones words for arrs[0],
+    zero fill for the rest). start is clamped so the dynamic slice stays
+    in-bounds; the clamp offset is masked back out — static `size` keeps
+    the compile shape set to ONE program for every (run, range) pair."""
+    N = arrs[0].shape[0]
+    start = jnp.asarray(start, jnp.int32)
+    start_c = jnp.clip(start, 0, max(N - size, 0))
+    delta = start - start_c
+    idx = jnp.arange(size, dtype=jnp.int32)
+    keep = (idx >= delta) & (idx < delta + jnp.asarray(width, jnp.int32))
+    out = []
+    for j, x in enumerate(arrs):
+        sl = jax.lax.dynamic_slice_in_dim(x, start_c, size, axis=0)
+        if j == 0:
+            sl = jnp.where(keep[:, None], sl, jnp.uint32(0xFFFFFFFF))
+        else:
+            shape = (size,) + (1,) * (sl.ndim - 1)
+            sl = jnp.where(keep.reshape(shape), sl, jnp.zeros((), sl.dtype))
+        # valid rows must START at row 0: consumers validate rows [0, width)
+        # (expand_singles' arange mask), but the clamp left them at `delta`
+        sl = jnp.roll(sl, -delta, axis=0)
+        out.append(sl)
+    return tuple(out)
+
+
+def _pad_part(x, P: int, sent):
+    n = x.shape[0]
+    if n >= P:
+        return x
+    fill = jnp.full((P - n,) + x.shape[1:], sent, x.dtype)
+    return jnp.concatenate([x, fill])
+
+
+@jax.jit
+def _combine_pieces_purged(pieces):
+    """Concatenate ranged-fold FinalTable pieces + one stable compaction."""
+    w = jnp.concatenate([p[0] for p in pieces])
+    keep = ~jnp.all(w == jnp.uint32(0xFFFFFFFF), axis=-1)
+    pay = jnp.concatenate([
+        C._pack_cnt_ext(p[1].astype(jnp.int32), p[2], p[3]) for p in pieces
+    ])
+    out = C._compact_keep(w, keep, (pay,))
+    w_s, pay_s, n_kept = out[0], out[1], out[-1]
+    cnt, left, right = C._unpack_cnt_ext(pay_s)
+    return (w_s, cnt, left, right, n_kept)
+
+
+@jax.jit
+def _combine_pieces_agg(pieces):
+    """Concatenate ranged-fold aggregate pieces (purge=False contract)."""
+    w = jnp.concatenate([p[0] for p in pieces])
+    keep = ~jnp.all(w == jnp.uint32(0xFFFFFFFF), axis=-1)
+    pays = [C._pack_sums(p[1], p[2], p[3]) for p in pieces]
+    pay5 = tuple(jnp.concatenate([p[i] for p in pays]) for i in range(5))
+    out = C._compact_keep(w, keep, pay5)
+    u_count, u_l4, u_r4 = C._unpack_sums(*out[1:-1])
+    return (out[0], u_count, u_l4, u_r4, out[-1])
+
+
 class KmerCountStore:
     """Accumulates k-mer count records for one shard of one k round.
 
@@ -266,11 +328,14 @@ class KmerCountStore:
     def _raw_bytes(self) -> int:
         return sum(sum(x.nbytes for x in run) for run in self.raw_runs)
 
-    def _collapse_raw(self):
+    def _collapse_raw(self, cascade: bool = True):
         """Fold the outstanding raw runs into ONE deduped split run pushed to
         the classic LSM (the raw byte budget's overflow valve: past it, the
         singleton-filtered deduped format is the memory-safe representation,
-        reference GQF sizing rationale kmer_dht.cpp:151)."""
+        reference GQF sizing rationale kmer_dht.cpp:151). cascade=False
+        appends without LSM tail merges — finalize's ranged fold is about to
+        merge everything anyway, and a cascade merge at finalize time is the
+        measured arctic-scale HBM peak."""
         if not self.raw_runs:
             return
         W = words32_for_k(self.k)
@@ -285,7 +350,11 @@ class KmerCountStore:
         self.raw_runs = []
         ns = np.asarray(jax.device_get(jnp.stack([run[4], run[7]])))
         if self.compact_singles:
-            self._push_split_run(self._trim(run, int(ns[0]), int(ns[1])))
+            trimmed = self._trim(run, int(ns[0]), int(ns[1]))
+            if cascade:
+                self._push_split_run(trimmed)
+            else:
+                self.runs.append(trimmed)
         else:
             # the plain-format LSM cannot hold a SPLIT (8-tuple) run: fold
             # the singleton sideband back into full format before pushing
@@ -351,13 +420,90 @@ class KmerCountStore:
             self.ctg_runs.append(_merge_ctg_padded(*a[:4], *b[:4]))
         return self.ctg_runs[0] if self.ctg_runs else None
 
+    # finalize folds in key ranges above this many total rows: the
+    # monolithic fold of ~50M partially-deduped rows (expanded singles +
+    # pow2-padded merge tree + scan + compaction) exceeded the 14 GiB
+    # usable HBM of a v5e at arctic scale (27 Mbp, k=33)
+    RANGED_FOLD_MIN_ROWS = 24_000_000
+    RANGED_FOLD_TARGET_ROWS = 10_000_000
+
+    def _final_fold_ranged(self, purge: bool):
+        """Range-partitioned final fold over the sorted split runs.
+
+        Every run part is lexsorted, so splitting the key space at word0
+        thresholds (quantile edges measured from the actual key
+        distribution — canonical k-mers skew low) puts every key's
+        occurrences in exactly one range; each range folds independently at
+        ~1/Q the peak, through ONE compiled program (static pow2 slice
+        sizes), and the pieces concatenate in key order + one stable
+        compaction. Same contract as ops.count.final_fold_runs.
+        """
+        runs = self.runs
+        parts = []
+        w0_samples = []
+        for r in runs:
+            m_w0, s_w0, nm, ns_ = jax.device_get(
+                (r[0][:, 0], r[5][:, 0], r[4], r[7])
+            )
+            nm, ns_ = int(nm), int(ns_)
+            parts.append((np.asarray(m_w0), nm, np.asarray(s_w0), ns_))
+            w0_samples.append(np.asarray(m_w0)[:nm])
+            w0_samples.append(np.asarray(s_w0)[:ns_])
+        w0_all = np.concatenate(w0_samples) if w0_samples else np.zeros(1, np.uint32)
+        total = int(w0_all.size)
+        Q = max(2, -(-total // self.RANGED_FOLD_TARGET_ROWS))
+        edges = np.quantile(w0_all, np.arange(1, Q) / Q).astype(np.uint64)
+        edges = np.minimum(edges, 0xFFFFFFFF).astype(np.uint32)
+        cuts = []
+        wm_max = ws_max = 1
+        for m_w0, nm, s_w0, ns_ in parts:
+            mc = np.concatenate([[0], np.searchsorted(m_w0[:nm], edges, "left"), [nm]])
+            sc = np.concatenate([[0], np.searchsorted(s_w0[:ns_], edges, "left"), [ns_]])
+            cuts.append((mc.astype(np.int64), sc.astype(np.int64)))
+            wm_max = max(wm_max, int(np.max(np.diff(mc))))
+            ws_max = max(ws_max, int(np.max(np.diff(sc))))
+        Sm = 1 << max(8, (wm_max - 1).bit_length())
+        Ss = 1 << max(8, (ws_max - 1).bit_length())
+        padded = []
+        for r in runs:
+            padded.append((
+                _pad_part(r[0], Sm, 0xFFFFFFFF), _pad_part(r[1], Sm, 0),
+                _pad_part(r[2], Sm, 0), _pad_part(r[3], Sm, 0),
+                _pad_part(r[5], Ss, 0xFFFFFFFF), _pad_part(r[6], Ss, 0),
+            ))
+        self.runs = []
+        pieces = []
+        for q in range(Q):
+            range_runs = []
+            for (mw, mc_, ml4, mr4, sw, sext), (mcut, scut) in zip(padded, cuts):
+                wm = int(mcut[q + 1] - mcut[q])
+                ws = int(scut[q + 1] - scut[q])
+                m_sl = _slice_range((mw, mc_, ml4, mr4), int(mcut[q]), wm, Sm)
+                s_sl = _slice_range((sw, sext), int(scut[q]), ws, Ss)
+                range_runs.append(
+                    m_sl + (jnp.int32(wm),) + s_sl + (jnp.int32(ws),)
+                )
+            piece = C.final_fold_runs(
+                tuple(range_runs), dmin_thres=self.dmin_thres, purge=purge
+            )
+            # fence: serialize ranges so only one range's transients live
+            jax.device_get(piece[-1])
+            pieces.append(piece)
+        del padded
+        # pieces are in key order; concatenate + one stable compaction
+        # (jitted: per-op dispatch over the tunnel costs an RTT each)
+        if purge:
+            return _combine_pieces_purged(tuple(p[:4] for p in pieces))
+        return _combine_pieces_agg(tuple(p[:4] for p in pieces))
+
     def finalize(self) -> FinalTable:
         c = self._merged_ctgs()
         if self.raw_runs:
             if self.runs or self._pending is not None:
                 # mixed (budget collapse happened): fold the raw remainder
                 # into the split LSM and fall through to the classic path
-                self._collapse_raw()
+                # (no cascade merge: the fold below consumes all runs)
+                self._collapse_raw(cascade=False)
             else:
                 W = words32_for_k(self.k)
                 if self._raw_packed:
@@ -396,15 +542,23 @@ class KmerCountStore:
                 h = np.asarray(jax.device_get(ns))
                 self.runs.append(self._trim(run, int(h[0]), int(h[1])))
             if self.runs:
+                total_rows = sum(r[0].shape[0] + r[5].shape[0] for r in self.runs)
+                ranged = total_rows > self.RANGED_FOLD_MIN_ROWS
                 if c is None:
-                    out = C.final_fold_runs_donated(
-                        tuple(self.runs), dmin_thres=self.dmin_thres, purge=True
-                    )
+                    if ranged:
+                        out = self._final_fold_ranged(purge=True)
+                    else:
+                        out = C.final_fold_runs_donated(
+                            tuple(self.runs), dmin_thres=self.dmin_thres, purge=True
+                        )
                     self.runs = []
                     return FinalTable(self.k, *out)
-                merged = C.final_fold_runs_donated(
-                    tuple(self.runs), dmin_thres=self.dmin_thres, purge=False
-                )
+                if ranged:
+                    merged = self._final_fold_ranged(purge=False)
+                else:
+                    merged = C.final_fold_runs_donated(
+                        tuple(self.runs), dmin_thres=self.dmin_thres, purge=False
+                    )
                 self.runs = []
                 merged = _apply_ctg_rules(*merged, *c, self.dmin_thres)
                 words, cnt, left, right, n = C.finalize_table(

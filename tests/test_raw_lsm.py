@@ -146,3 +146,48 @@ def test_merge_raw_runs_tree(rng):
     ).reshape(-1)
     np.testing.assert_array_equal(got["a"], cat["a"])
     np.testing.assert_array_equal(got["b"], cat["b"])
+
+
+def test_ranged_finalize_equals_plain(rng):
+    """The range-partitioned final fold (HBM governance at arctic scale)
+    must produce a bit-identical table to the monolithic fold, both with
+    and without the ctg second pass (purge=True/False paths)."""
+    import numpy as np
+    from mhm2_proxy_tpu.kcount import KmerCountStore
+    from mhm2_proxy_tpu.ops.bitkmer import ascii_to_codes
+    from tests.test_count import reads_to_block
+
+    k = 21
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    reads = []
+    for _ in range(600):
+        s = int(rng.integers(0, 3000 - 64))
+        reads.append((genome[s : s + 64], chr(33 + 38) * 64))
+    codes, qual_ok, lens = reads_to_block(reads, B=640, L=64)
+    ctg = genome[500:1500]
+    ccodes = np.full((8, 1024), 4, np.uint8)
+    clens = np.zeros(8, np.int32)
+    cdeps = np.zeros(8, np.int32)
+    ccodes[0, : len(ctg)] = ascii_to_codes(ctg.encode())
+    clens[0] = len(ctg)
+    cdeps[0] = 6
+
+    def run(ranged, with_ctg):
+        st = KmerCountStore(k, raw_lsm=True)
+        if ranged:
+            st.RANGED_FOLD_MIN_ROWS = 0
+            st.RANGED_FOLD_TARGET_ROWS = 4096  # force several ranges
+        # several blocks + a forced collapse so finalize sees the MIXED
+        # path (split runs + raw remainder)
+        for s0 in range(0, 640, 160):
+            st.add_reads_block(codes[s0:s0+160], qual_ok[s0:s0+160], lens[s0:s0+160])
+            if s0 == 160:
+                st._collapse_raw()
+        if with_ctg:
+            st.add_ctgs_block(ccodes, clens, cdeps)
+        return st.finalize().to_host_dict()
+
+    for with_ctg in (False, True):
+        a = run(False, with_ctg)
+        b = run(True, with_ctg)
+        assert a == b, f"with_ctg={with_ctg}: {len(a)} vs {len(b)} entries"
