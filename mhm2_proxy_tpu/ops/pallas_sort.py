@@ -251,3 +251,11 @@ def merge_sorted_lanes(a_lanes, b_lanes, kw: int, interpret: bool = False):
     """
     vals = tuple(jnp.concatenate([a, b[::-1]]) for a, b in zip(a_lanes, b_lanes))
     return _bitonic_network(vals, kw, interpret)
+
+# Donated variant: inputs' buffers are consumed (the LSM merge tree's call
+# sites never reuse a merged-away run) — halves peak HBM at arctic-scale
+# merges (see ops/count.py donated variants note).
+merge_sorted_lanes_padded_donated = jax.jit(
+    merge_sorted_lanes_padded.__wrapped__,
+    static_argnames=("kw", "interpret"), donate_argnums=(0, 1),
+)
