@@ -71,27 +71,35 @@ def compile_service_ok(timeout_s: int = 240) -> bool:
         return False
 
 
-def _start_watchdog(seconds: int = 3600):
-    """Last-resort guard: if the bench wedges on a hung device fetch, emit a
-    degraded record instead of nothing and exit hard."""
+# Incrementally-updated record: the watchdog prints whatever the bench has
+# measured so far instead of a zero (VERDICT r4 #2: the round-4 driver run
+# timed out with parsed=null; a partial record beats none).
+_PARTIAL = {
+    "metric": "kmers_per_sec_full_round_per_chip",
+    "value": 0,
+    "unit": "kmers/s",
+    "vs_baseline": 0.0,
+    "detail": {},
+}
+
+
+def _set_value(value: float):
+    _PARTIAL["value"] = round(value, 1)
+    _PARTIAL["vs_baseline"] = round(value / BASELINE_KMERS_PER_SEC, 3)
+
+
+def _start_watchdog(seconds: int):
+    """Hard wall-time cap: if the bench wedges on a hung device fetch or a
+    cold compile storm, emit the best record so far and exit hard."""
     import os
     import threading
 
     def fire():
-        print(
-            json.dumps(
-                {
-                    "metric": "kmers_per_sec_full_round_per_chip",
-                    "value": 0,
-                    "unit": "kmers/s",
-                    "vs_baseline": 0.0,
-                    "detail": {"error": f"bench watchdog fired after {seconds}s "
-                                        "(TPU fetch wedged)"},
-                }
-            ),
-            flush=True,
+        _PARTIAL["detail"]["watchdog"] = (
+            f"bench watchdog fired after {seconds}s; record is partial"
         )
-        os._exit(3)
+        print(json.dumps(_PARTIAL), flush=True)
+        os._exit(0 if _PARTIAL["value"] else 3)
 
     t = threading.Timer(seconds, fire)
     t.daemon = True
@@ -105,7 +113,17 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    watchdog = _start_watchdog()
+    # Hard wall-time budget (VERDICT r4 #2): the driver killed the round-4
+    # bench at its own timeout with nothing printed. Everything after the
+    # headline reps is optional and yields to the clock; the watchdog prints
+    # the partial record if a fetch/compile wedges.
+    budget_s = float(os.environ.get("MHM2_BENCH_BUDGET_S", 420))
+    t_begin = time.monotonic()
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t_begin)
+
+    watchdog = _start_watchdog(int(budget_s))
     can_compile = compile_service_ok()
     degraded = []
     from mhm2_proxy_tpu.ops import kernels
@@ -129,7 +147,11 @@ def main():
             os.path.abspath(__file__)), "scripts"))
         import verify_kernels_tpu
 
-        kernel_matrix = verify_kernels_tpu.run_matrix(budget_s=1200)
+        # cached verdicts (source-hash keyed) make an unchanged kernel ~0 s;
+        # only edited kernels spend the budget. Reserve ~180 s for the timed
+        # rounds themselves.
+        kernel_matrix = verify_kernels_tpu.run_matrix(
+            budget_s=max(60.0, left() - 180.0))
         # a kernel the gate SKIPPED (budget) is not known-bad: leave it on
         # and let run_round_safe catch a genuine failure
         for kname, r in list(kernel_matrix.items()):
@@ -219,18 +241,33 @@ def main():
             return run_round(staged)
 
     pure_xla = False
+    detail = _PARTIAL["detail"]
+    detail["platform"] = jax.devices()[0].platform
+    detail["k"] = k
+    detail["kmers_per_round"] = kmers_total
+    if kernel_matrix is not None:
+        detail["kernel_verify"] = kernel_matrix
     # warmup compiles every shape of the identical timed pass
-    table, _ = run_round_safe(staged=True)
+    table, warm_times = run_round_safe(staged=True)
+    detail["staged_breakdown"] = {kk: round(v, 4) for kk, v in warm_times.items()}
+    detail["table_kmers"] = int(np.asarray(table.n))
     reps = []
     for _ in range(3):
         table, times = run_round_safe(staged=False)
         reps.append(times)
-    staged_reps = []
+        best = min(reps, key=lambda t: t["total_s"])
+        _set_value(kmers_total / best["total_s"])
+        detail["total_s"] = round(best["total_s"], 4)
+        detail["round_total_s_all_reps"] = [round(t["total_s"], 4) for t in reps]
+    staged_reps = [warm_times]
     for _ in range(2):
+        if left() < 60:
+            break
         table, times = run_round_safe(staged=True)
         staged_reps.append(times)
     best = min(reps, key=lambda t: t["total_s"])
     best_staged = min(staged_reps, key=lambda t: t["total_s"])
+    detail["staged_breakdown"] = {kk: round(v, 4) for kk, v in best_staged.items()}
     value = kmers_total / best["total_s"]
 
     # steady-state aggregate-only microbench (round-1 continuity metric):
@@ -257,6 +294,9 @@ def main():
     micro = []
     try:
         for _ in range(5):
+            if left() < 90:
+                degraded.append("microbench truncated: bench budget")
+                break
             ts = {}
             for iters in (2, 12):
                 mfn = agg_chain(iters)
@@ -274,13 +314,18 @@ def main():
         degraded.append(f"aggregate-only microbench failed: {type(e).__name__}")
     if not micro:
         micro = [0.0]
+    detail["aggregate_only_kmers_per_sec"] = round(statistics.median(micro), 1)
 
     # multi-k on-chip rounds (VERDICT r2 #6): the production run is 21->99
     # with W=4/6/8 word paths; record one single-block round per k so every
     # word path has a real-chip number. Warmup + best-of-2 per k.
     multi_k = {}
+    detail["multi_k_single_block"] = multi_k
     cb0, qb0, lb0 = blocks[0]
     for kx in (21, 33, 55, 77, 99) if can_compile else ():
+        if left() < 60:
+            degraded.append(f"multi-k truncated at k={kx}: bench budget")
+            break
         kmers_kx = B * (L - kx - 1)
 
         def round_k():
@@ -308,39 +353,19 @@ def main():
             multi_k[kx] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             degraded.append(f"multi-k k={kx} round failed")
 
-    detail = {
-        "platform": jax.devices()[0].platform,
-        "k": k,
-        "kmers_per_round": kmers_total,
-        "table_kmers": int(np.asarray(table.n)),
-        "total_s": round(best["total_s"], 4),
-        "round_total_s_all_reps": [round(t["total_s"], 4) for t in reps],
-        "staged_breakdown": {kk: round(v, 4) for kk, v in best_staged.items()},
-        "aggregate_only_kmers_per_sec": round(statistics.median(micro), 1),
-        "aggregate_only_spread": [round(min(micro), 1), round(max(micro), 1)],
-        "multi_k_single_block": multi_k,
-        "fencing": (
-            "headline: ONE device_get at round end (production flow; stages "
-            "chain server-side); staged_breakdown from a separate per-stage-"
-            "fenced run (block_until_ready is a no-op via tunnel)"
-        ),
-    }
-    if kernel_matrix is not None:
-        detail["kernel_verify"] = kernel_matrix
+    detail["table_kmers"] = int(np.asarray(table.n))
+    detail["aggregate_only_spread"] = [round(min(micro), 1), round(max(micro), 1)]
+    detail["fencing"] = (
+        "headline: ONE device_get at round end (production flow; stages "
+        "chain server-side); staged_breakdown from a separate per-stage-"
+        "fenced run (block_until_ready is a no-op via tunnel)"
+    )
+    detail["bench_wall_s"] = round(time.monotonic() - t_begin, 1)
     if degraded:
         detail["degraded"] = degraded
+    _set_value(value)
     watchdog.cancel()
-    print(
-        json.dumps(
-            {
-                "metric": "kmers_per_sec_full_round_per_chip",
-                "value": round(value, 1),
-                "unit": "kmers/s",
-                "vs_baseline": round(value / BASELINE_KMERS_PER_SEC, 3),
-                "detail": detail,
-            }
-        )
-    )
+    print(json.dumps(_PARTIAL))
 
 
 if __name__ == "__main__":

@@ -22,13 +22,21 @@ import argparse
 import sys
 
 
-def misassembly_count(contigs: list[str], genomes: list[str], K: int = 31,
-                      anchor_step: int = 200, tol: int = 50, min_len: int = 500) -> int:
-    """Count contigs breaks: anchor pairs with inconsistent genome placement.
+def misassembly_stats(contigs: list[str], genomes: list[str], K: int = 31,
+                      anchor_step: int = 200, tol: int = 50, min_len: int = 500,
+                      local_max: int = 1000) -> dict:
+    """Anchor-consistency misassembly classification (metaquast analog).
 
     Anchors are unique reference K-mers sampled every anchor_step bases along
-    each contig; a misassembly is charged whenever two consecutive anchors
-    land on different genomes, flip orientation, or shift offset by > tol.
+    each contig. Consecutive anchor pairs are classified following metaquast's
+    extensive/local split (reference golden rows 24 and 27,
+    /root/reference/ci/good-arctic-sample0.txt:24,27):
+
+    - different genome or flipped orientation, or offset drift > local_max
+      -> **misassembly** (relocation/translocation/inversion analog);
+    - offset drift in (tol, local_max] -> **local misassembly**;
+    - offset drift in (0, tol] -> **indel event** (small gap vs the
+      reference; metaquast's "# indels per 100 kbp" numerator analog).
     """
     from mhm2_proxy_tpu.oracle.pyref import revcomp_str
 
@@ -38,7 +46,7 @@ def misassembly_count(contigs: list[str], genomes: list[str], K: int = 31,
             km = g[i : i + K]
             ckm = min(km, revcomp_str(km))
             index[ckm] = None if ckm in index else (gi, i, ckm == km)
-    mis = 0
+    mis = local = indels = 0
     for c in contigs:
         if len(c) < min_len:
             continue
@@ -55,9 +63,15 @@ def misassembly_count(contigs: list[str], genomes: list[str], K: int = 31,
                 mis += 1
                 continue
             delta = (p2 - p1) if f1 else (p1 - p2)
-            if abs(delta - (i2 - i1)) > tol:
+            drift = abs(delta - (i2 - i1))
+            if drift > local_max:
                 mis += 1
-    return mis
+            elif drift > tol:
+                local += 1
+            elif drift > 0:
+                indels += 1
+    return {"misassemblies": mis, "local_misassemblies": local,
+            "indel_events": indels}
 
 
 def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
@@ -66,12 +80,14 @@ def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
     contigs = [c for c in contigs if len(c) >= min_len]
     lens = sorted((len(c) for c in contigs), reverse=True)
     total = sum(lens)
-    n50 = l50 = 0
+    n50 = l50 = n75 = l75 = 0
     acc = 0
     for i, ln in enumerate(lens):
         acc += ln
-        if acc >= total / 2:
+        if not n50 and acc >= total / 2:
             n50, l50 = ln, i + 1
+        if acc >= total * 3 / 4:
+            n75, l75 = ln, i + 1
             break
 
     K = 31
@@ -83,7 +99,10 @@ def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
             ref_kmers[min(km, revcomp_str(km))] = False
     aligned_bases = 0
     mismatch_proxy = 0
+    unaligned_length = 0
+    n_bases = 0
     for c in contigs:
+        n_bases += c.count("N") + c.count("n")
         hits = 0
         for i in range(len(c) - K + 1):
             km = c[i : i + K]
@@ -94,9 +113,14 @@ def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
         aligned_bases += hits
         # contig kmers absent from every genome ~ mismatch neighborhoods
         mismatch_proxy += (len(c) - K + 1) - hits
+        # metaquast "unaligned length" analog: contigs with no reference
+        # K-mer at all contribute their full length
+        if hits == 0:
+            unaligned_length += len(c)
     covered = sum(1 for v in ref_kmers.values() if v)
     genome_fraction = 100.0 * covered / max(len(ref_kmers), 1)
     dup_ratio = aligned_bases / max(covered, 1)
+    mis = misassembly_stats(contigs, genomes, min_len=min_len)
 
     return {
         "num_contigs": len(contigs),
@@ -104,10 +128,16 @@ def contig_metrics(contigs: list[str], genomes: list[str], min_len: int = 500):
         "largest_contig": lens[0] if lens else 0,
         "n50": n50,
         "l50": l50,
+        "n75": n75,
+        "l75": l75,
         "genome_fraction": round(genome_fraction, 3),
         "duplication_ratio": round(dup_ratio, 4),
         "unaligned_kmers_per_100kbp": round(1e5 * mismatch_proxy / max(total, 1), 2),
-        "misassemblies": misassembly_count(contigs, genomes, min_len=min_len),
+        "unaligned_length": unaligned_length,
+        "ns_per_100kbp": round(1e5 * n_bases / max(total, 1), 2),
+        "misassemblies": mis["misassemblies"],
+        "local_misassemblies": mis["local_misassemblies"],
+        "indels_per_100kbp": round(1e5 * mis["indel_events"] / max(total, 1), 2),
     }
 
 
