@@ -34,7 +34,21 @@ def main():
     ap.add_argument("--coassembly", action="store_true",
                     help="12-genome >=1Mbp community (reference arcticsynth "
                     "12-sample coassembly analog, ci_asm_qual_test-full.sh)")
+    ap.add_argument("--arctic-scale", action="store_true",
+                    help="27 Mbp / 12-genome flagship stand-in for the "
+                    "reference's arctic_sample_0 (26.2 Mbp of references, "
+                    "ci/good-arctic-sample0.txt): uniform 8x coverage, "
+                    "100 bp pairs, 0.2%% errors — the round-4 campaign shape "
+                    "(BASELINE.md arctic table)")
     args = ap.parse_args()
+    if args.arctic_scale:
+        args.genomes = 12
+        args.genome_len = 2_250_000
+        args.genome_len_step = 0
+        args.coverage = 8.0
+        args.read_len = 100
+        args.seed = 12
+        args.name = "arctic-scale"
     if args.coassembly:
         # >= 2 Mbp, 12 genomes, log-skewed coverage, SHARED repeats: the
         # nightly tier must stress what the 75 kb smoke community cannot —
@@ -65,6 +79,10 @@ def main():
         if args.coassembly:
             # log-spaced abundance skew ~4x..26x across community members
             cov = args.coverage * (1.6 ** (g % 5))
+        elif args.arctic_scale:
+            # flagship stand-in is uniform-coverage (matches the round-4
+            # campaign's 2.16M-read volume: 27e6 * 8 / 100)
+            cov = args.coverage
         else:
             # varied abundances like a real metagenome
             cov = args.coverage * (1.0 + 0.5 * (g % 4))
@@ -88,7 +106,7 @@ def main():
         )
         ids, seqs, quals = simulate_reads(
             rng, genome, coverage=cov, read_len=args.read_len, insert_mean=260,
-            insert_sd=40, err_rate=0.004,
+            insert_sd=40, err_rate=0.002 if args.arctic_scale else 0.004,
         )
         ids = [f"g{g}.{i.decode()}".encode() for i in ids]
         all_ids.extend(ids)

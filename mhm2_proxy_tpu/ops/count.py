@@ -427,21 +427,13 @@ def _merge_sorted_sets(a, b):
     from . import kernels
 
     if kernels.enabled("sort"):
-        from .pallas_sort import merge_sorted_lanes
+        from .pallas_sort import merge_sorted_lanes_padded
 
-        total = na + nb
-        m = 1 << max(8, (total - 1).bit_length())
-        pad = m - total
         a_lanes = tuple(a_words[:, w] for w in range(W)) + _pack_sums(a_count, a_l4, a_r4)
         b_lanes = tuple(b_words[:, w] for w in range(W)) + _pack_sums(b_count, b_l4, b_r4)
-        if pad:
-            b_lanes = tuple(
-                jnp.concatenate(
-                    [x, jnp.full((pad,), 0xFFFFFFFF if i < W else 0, U32)]
-                )
-                for i, x in enumerate(b_lanes)
-            )
-        out = merge_sorted_lanes(a_lanes, b_lanes, kw=W)
+        # TILE-granular merge (virtual sentinel tiles stand in for the pow2
+        # tail) — the former pow2 padding cost up to ~2x the merge traffic
+        out = merge_sorted_lanes_padded(a_lanes, b_lanes, kw=W)
         w = jnp.stack(out[:W], axis=-1)
         cnt, l4, r4 = _unpack_sums(*out[W:])
         return w, cnt, l4, r4

@@ -77,7 +77,7 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     if use_merge is None:
         use_merge = kernels.enabled("sort")
     if fused and use_merge:
-        from .pallas_sort import merge_sorted_lanes
+        from .pallas_sort import merge_sorted_lanes_tiled
 
         interp = jax.default_backend() != "tpu"
         qsrc = jnp.arange(Q, dtype=jnp.uint32) | jnp.uint32(1 << 25)
@@ -88,21 +88,17 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
         tsrc = jnp.arange(T, dtype=jnp.uint32) | (
             payload.astype(jnp.uint32) << jnp.uint32(26)
         )
-        total = T + Q
-        m = 1 << max(8, (total - 1).bit_length())
-        pad = m - total
-        b_lanes = tuple(qs)
-        if pad:
-            # src = 0x01FFFFFF: query flag (bit 25) CLEAR so the back-route
-            # compaction drops pads with the table rows, idx 0x1FFFFFF >=
-            # n_valid so a pad is never a found answer in the propagation
-            padfill = [jnp.uint32(0xFFFFFFFF)] * W + [jnp.uint32(0x01FFFFFF)]
-            b_lanes = tuple(
-                jnp.concatenate([x, jnp.full((pad,), padfill[i], jnp.uint32)])
-                for i, x in enumerate(b_lanes)
-            )
         a_lanes = tuple(table_words[:, w] for w in range(W)) + (tsrc,)
-        out = merge_sorted_lanes(a_lanes, b_lanes, kw=W, interpret=interp)
+        # TILE-granular merge (virtual sentinel tiles cover the pow2 tail):
+        # the former pow2 padding inflated the merged rows up to ~2x (42%
+        # measured at the 22.5M-row edge-join shape) and every pad row rode
+        # the propagation + compaction too. Pad src = 0x01FFFFFF: query
+        # flag (bit 25) CLEAR so the back-route compaction drops pads with
+        # the table rows, idx 0x1FFFFFF >= n_valid so a pad is never a
+        # found answer in the propagation.
+        out = merge_sorted_lanes_tiled(
+            a_lanes, tuple(qs), kw=W, pad_fill=(0x01FFFFFF,), interpret=interp
+        )
         qp = Q  # static query row count (for the back-route compact)
         # interpret mode (tests forcing _USE_MERGE_JOIN on CPU) keeps the
         # fused path; on TPU the registry can turn it off individually

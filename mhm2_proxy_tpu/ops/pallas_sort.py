@@ -117,9 +117,14 @@ def _tail_kernel(kw: int, n_lanes: int, max_span: int, roll_below: int):
     return kernel
 
 
-def _cross_kernel(kw: int, n_lanes: int, st: int):
+def _cross_kernel(kw: int, n_lanes: int, st: int, t_phys: int | None = None):
     """Program t reads its tile and its partner tile (t XOR st) and writes
-    its own tile's post-exchange value (min side if t is the low tile)."""
+    its own tile's post-exchange value (min side if t is the low tile).
+
+    t_phys (virtual-tile mode): tiles >= t_phys are VIRTUAL all-sentinel
+    tiles that are never materialized — a tile whose partner is virtual is
+    the low side of a compare with +inf and keeps its own values (the
+    partner BlockSpec clamps to self; the exchange is masked out here)."""
 
     st_log2 = st.bit_length() - 1
 
@@ -137,27 +142,46 @@ def _cross_kernel(kw: int, n_lanes: int, st: int):
         lo = [jnp.where(am_hi, o, m) for m, o in zip(mine, other)]
         hi = [jnp.where(am_hi, m, o) for m, o in zip(mine, other)]
         swap = _lex_gt(lo, hi, kw)
-        for out, l, h in zip(refs[2 * n_lanes :], lo, hi):
+        real = (
+            jnp.bitwise_xor(t, jnp.int32(st)) < jnp.int32(t_phys)
+            if t_phys is not None else None
+        )
+        for out, m, l, h in zip(refs[2 * n_lanes :], mine, lo, hi):
             keep_lo = jnp.where(swap, h, l)
             keep_hi = jnp.where(swap, l, h)
-            out[:] = jnp.where(am_hi, keep_hi, keep_lo)
+            ex = jnp.where(am_hi, keep_hi, keep_lo)
+            out[:] = ex if real is None else jnp.where(real, ex, m)
 
     return kernel
 
 
 def _bitonic_network(vals, kw: int, interpret: bool):
-    """Full bitonic-merge network on a tuple of (M,) lanes; M a power of two
-    and the input a bitonic sequence."""
-    M = vals[0].shape[0]
+    """Bitonic-merge network on a tuple of (P,) lanes holding a bitonic
+    sequence whose sentinel (all-ones-key) tail extends VIRTUALLY to the
+    next power of two M >= P.
+
+    P == M (the classic case) runs the full network. P < M (P a TILE
+    multiple) runs the same network over only the P physical rows: the
+    virtual rows [P, M) hold +inf keys forever (an exchange writes
+    max(x, +inf) = +inf back to them), so (a) cross-tile stages whose span
+    >= P/TILE pair every physical tile with a virtual one and are identity
+    — skipped outright; (b) within remaining stages, a tile whose partner
+    is virtual passes through unchanged (masked in _cross_kernel). Cuts the
+    merge's HBM traffic from M to P rows per stage — the pow2 padding this
+    replaces wasted up to ~2x (measured 42% at the de Bruijn join's 22.5M-
+    row shape, BASELINE.md round-4)."""
+    P = vals[0].shape[0]
+    M = 1 << max(8, (P - 1).bit_length())
     n_lanes = len(vals)
     roll_below = 1 if interpret else (1 << 30)
     # (rows, 128) layout: keeps blocks >= 2-D, which both Mosaic and the
     # vmap batching rule for pallas_call require
-    vals = tuple(v.reshape(M // 128, 128) for v in vals)
+    vals = tuple(v.reshape(P // 128, 128) for v in vals)
     # Mosaic rejects i64 index scalars; the package enables x64 globally, so
     # trace the kernel bodies and index maps with x64 off (everything is u32)
     with jax.enable_x64(False):
-        if M <= TILE:
+        if P <= TILE:
+            assert P == M, "sub-TILE inputs must be physically pow2-padded"
             out = pl.pallas_call(
                 _tail_kernel(kw, n_lanes, M // 2, roll_below),
                 out_shape=tuple(
@@ -171,20 +195,30 @@ def _bitonic_network(vals, kw: int, interpret: bool):
             )(*vals)
             return tuple(v.reshape(M) for v in out)
 
-        T = M // TILE
+        assert P % TILE == 0, "multi-tile inputs must be TILE-aligned"
+        T = P // TILE
         rows = TILE // 128
-        shape2 = (M // 128, 128)
+        shape2 = (P // 128, 128)
         span = M // 2
         while span >= TILE:
             st = span // TILE
+            span //= 2
+            if st >= T:
+                continue  # every partner tile is virtual: identity stage
             self_spec = pl.BlockSpec(
                 (rows, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
             )
             partner_spec = pl.BlockSpec(
-                (rows, 128), lambda t, st=st: (t ^ st, 0), memory_space=pltpu.VMEM
+                (rows, 128),
+                # clamp virtual partners to self; the kernel masks them out
+                lambda t, st=st, T=T: (
+                    jnp.where(jnp.bitwise_xor(t, st) >= T, t, jnp.bitwise_xor(t, st)),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
             )
             vals = pl.pallas_call(
-                _cross_kernel(kw, n_lanes, st),
+                _cross_kernel(kw, n_lanes, st, t_phys=None if P == M else T),
                 grid=(T,),
                 out_shape=tuple(
                     jax.ShapeDtypeStruct(shape2, U32) for _ in range(n_lanes)
@@ -193,7 +227,6 @@ def _bitonic_network(vals, kw: int, interpret: bool):
                 out_specs=tuple(self_spec for _ in range(n_lanes)),
                 interpret=interpret,
             )(*vals, *vals)
-            span //= 2
 
         spec = pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
         vals = pl.pallas_call(
@@ -204,40 +237,66 @@ def _bitonic_network(vals, kw: int, interpret: bool):
             out_specs=tuple(spec for _ in range(n_lanes)),
             interpret=interpret,
         )(*vals)
-    return tuple(v.reshape(M) for v in vals)
+    return tuple(v.reshape(P) for v in vals)
 
 
-@partial(jax.jit, static_argnames=("kw", "interpret"))
-def merge_sorted_lanes_padded(a_lanes, b_lanes, kw: int, interpret: bool = False):
-    """merge_sorted_lanes for ARBITRARY (non-pow2) run lengths.
+def _merge_anylen_core(a_lanes, b_lanes, kw: int, pad_fill, slice_out: bool,
+                       interpret: bool):
+    """Merge core for arbitrary run lengths at TILE granularity.
 
-    Sentinel pad rows (all-ones KEY lanes, the empty-key convention) are
-    inserted BETWEEN a and reversed(b): ascending-a then all-ones then
-    descending-b is still bitonic, so the standard network applies at the
-    next pow2 size. All-ones keys sort to the tail, where exactly `pad` of
-    the trailing sentinel rows are sliced off statically. Non-key lanes pad
-    with a real sentinel row's fill (0 — e.g. the separate-payload raw
-    layout zeroes the payload of sentinel rows): bitonicity depends only on
-    the kw key lanes, and a matching fill makes pad rows truly
-    indistinguishable from real sentinels (an all-ones payload pad could
-    land in the kept prefix and leak a count=0xFFFF row into downstream
-    intermediates).
+    Layout: reversed(b) (descending) then a (ascending) then sentinel pad
+    rows (all-ones keys, ascending) — down-then-up, a rotation of up-down,
+    so the standard bitonic network applies. Pads only reach the next TILE
+    boundary (<= 32k rows); from there to the next power of two the tail is
+    VIRTUAL (see _bitonic_network) — the pow2 physical padding this
+    replaces cost up to ~2x the merge's HBM traffic (42% measured at the
+    edge join's 22.5M-row shape).
+
+    Non-key pad lanes fill with pad_fill[i] (default 0, a real sentinel
+    row's fill — an all-ones payload pad could land in the kept prefix and
+    leak a count=0xFFFF row downstream). slice_out=False returns the full
+    TILE-aligned physical rows (trailing pads included) for callers that
+    need tile-multiple shapes (the join's fused epilogue).
     """
     A = a_lanes[0].shape[0]
     B = b_lanes[0].shape[0]
     total = A + B
     m = 1 << max(8, (total - 1).bit_length())
-    pad = m - total
-    if pad == 0:
-        return merge_sorted_lanes(a_lanes, b_lanes, kw, interpret)
-    ones = jnp.full((pad,), 0xFFFFFFFF, U32)
-    zeros = jnp.zeros((pad,), U32)
+    P = m if m <= TILE else -(-total // TILE) * TILE
+    pad = P - total
+    if pad == 0 and slice_out:
+        return merge_sorted_lanes.__wrapped__(a_lanes, b_lanes, kw, interpret)
+    fills = [0xFFFFFFFF] * kw + list(
+        pad_fill if pad_fill is not None else [0] * (len(a_lanes) - kw)
+    )
     vals = tuple(
-        jnp.concatenate([a, ones if i < kw else zeros, b[::-1]])
+        jnp.concatenate(
+            [b[::-1], a] + ([jnp.full((pad,), fills[i], U32)] if pad else [])
+        )
         for i, (a, b) in enumerate(zip(a_lanes, b_lanes))
     )
     out = _bitonic_network(vals, kw, interpret)
-    return tuple(v[:total] for v in out)
+    if slice_out:
+        out = tuple(v[:total] for v in out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("kw", "interpret"))
+def merge_sorted_lanes_padded(a_lanes, b_lanes, kw: int, interpret: bool = False):
+    """merge_sorted_lanes for ARBITRARY (non-pow2) run lengths (see
+    _merge_anylen_core for the layout and virtual-tile padding scheme)."""
+    return _merge_anylen_core(a_lanes, b_lanes, kw, None, True, interpret)
+
+
+@partial(jax.jit, static_argnames=("kw", "pad_fill", "interpret"))
+def merge_sorted_lanes_tiled(a_lanes, b_lanes, kw: int,
+                             pad_fill: tuple = None, interpret: bool = False):
+    """Anylen merge returning TILE-aligned physical rows (pads included).
+
+    Trailing pad rows carry all-ones keys and pad_fill[i] per non-key lane
+    — callers that tag pads for a downstream compaction (the sort-join's
+    back-route) declare the tag here instead of materializing pow2 pads."""
+    return _merge_anylen_core(a_lanes, b_lanes, kw, pad_fill, False, interpret)
 
 
 @partial(jax.jit, static_argnames=("kw", "interpret"))

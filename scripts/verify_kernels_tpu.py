@@ -377,10 +377,11 @@ def run_matrix(budget_s: float = 3600.0, use_cache: bool = True) -> dict:
                              "skipped": True}
             continue
         t0 = time.monotonic()
+        timeout_s = min(PER_KERNEL_TIMEOUT_S, left)
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--kernel", name],
-                timeout=min(PER_KERNEL_TIMEOUT_S, left),
+                timeout=timeout_s,
                 capture_output=True, text=True, env=dict(os.environ),
             )
             ok = r.returncode == 0
@@ -390,7 +391,15 @@ def run_matrix(budget_s: float = 3600.0, use_cache: bool = True) -> dict:
                 rec["err"] = " | ".join(tail[-3:])[-500:]
         except subprocess.TimeoutExpired:
             rec = {"ok": False, "s": round(time.monotonic() - t0, 1),
-                   "err": f"timeout after {PER_KERNEL_TIMEOUT_S}s"}
+                   "err": f"timeout after {timeout_s:.0f}s"}
+            if timeout_s < PER_KERNEL_TIMEOUT_S:
+                # the MATRIX budget cut this check short, not a wedged
+                # compile: an unfinished verdict is "not verified", not
+                # "failed" — callers must leave the kernel enabled (the
+                # round-5 driver bench disabled a healthy join kernel on
+                # exactly this path and lost 40% of its headline)
+                rec["skipped"] = True
+                rec["err"] = f"matrix budget cut verify at {timeout_s:.0f}s"
         results[name] = rec
         if use_cache and rec.get("ok"):
             cache[name] = {"hash": src, "ok": True, "s": rec["s"],

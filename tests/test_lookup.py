@@ -108,3 +108,30 @@ def test_merge_join_fused_epilogue_multi_tile(rng):
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_merge_join_virtual_tile_pad(rng):
+    """Total rows between tile-pow2 points: the merge pads to 6 physical
+    tiles while the bitonic network runs at a virtual 8-tile size
+    (ops/pallas_sort.py virtual sentinel tiles) — the fused epilogue must
+    see only TABLE-flagged pads and answers must match the concat join."""
+    T, Q = 60000, 110000  # total 170000 -> P = 6*32768 < M = 8*32768
+    words, n, keys = _mk_table(rng, T, n_valid=T - 50)
+    payload = jnp.asarray(rng.integers(0, 64, T, dtype=np.uint32))
+    hit = keys[np.repeat(rng.integers(0, len(keys), Q // 8), 8)[: Q - 500]]
+    miss = rng.integers(0, 1 << 42, 500, dtype=np.uint64)
+    qk = np.concatenate([hit, miss])
+    qw = jnp.asarray(np.stack(
+        [(qk >> 10).astype(np.uint32), ((qk & 0x3FF) << 22).astype(np.uint32)],
+        axis=-1,
+    ))
+    try:
+        lookup._USE_MERGE_JOIN = False
+        i0, f0, p0 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+        lookup._USE_MERGE_JOIN = True
+        i1, f1, p1 = lookup.table_join_payload(words, n, qw, payload, payload_bits=6)
+    finally:
+        lookup._USE_MERGE_JOIN = None
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))

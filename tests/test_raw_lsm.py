@@ -191,3 +191,49 @@ def test_ranged_finalize_equals_plain(rng):
         a = run(False, with_ctg)
         b = run(True, with_ctg)
         assert a == b, f"with_ctg={with_ctg}: {len(a)} vs {len(b)} entries"
+
+
+@pytest.mark.parametrize("sizes", [(3000, 1800), (2100, 60), (512, 512), (5000, 3100)])
+def test_merge_sorted_lanes_virtual_tiles(rng, sizes, monkeypatch):
+    """Non-pow2 tile counts: physical rows pad only to a TILE boundary and
+    the pow2 tail is VIRTUAL (all-sentinel tiles, never materialized). A
+    shrunken TILE exercises multi-tile cross stages incl. skipped identity
+    stages and per-tile virtual-partner passthrough."""
+    import mhm2_proxy_tpu.ops.pallas_sort as PS
+
+    monkeypatch.setattr(PS, "TILE", 512)
+    A, B = sizes
+    mk = lambda n: np.sort(rng.integers(0, 1 << 20, n, dtype=np.int64).astype(np.uint32))
+    a0, b0 = mk(A), mk(B)
+    a = (a0, (a0 ^ 0x5A5A).astype(np.uint32))
+    b = (b0, (b0 ^ 0x5A5A).astype(np.uint32))
+    out = PS.merge_sorted_lanes_padded.__wrapped__(a, b, kw=1, interpret=True)
+    got = np.asarray(out[0])
+    want = np.sort(np.concatenate([a0, b0]))
+    assert got.shape[0] == A + B
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(out[1]), want ^ 0x5A5A)
+
+
+def test_merge_sorted_lanes_tiled_pad_fill(rng, monkeypatch):
+    """slice_out=False contract: TILE-aligned physical rows returned, the
+    trailing pads carry all-ones keys and the declared pad_fill lane (the
+    sort-join tags pads for its back-route compaction this way)."""
+    import mhm2_proxy_tpu.ops.pallas_sort as PS
+
+    monkeypatch.setattr(PS, "TILE", 512)
+    A, B = 700, 500  # total 1200 -> P = 3*512 = 1536, M = 2048
+    mk = lambda n: np.sort(rng.integers(0, 1 << 20, n, dtype=np.int64).astype(np.uint32))
+    a0, b0 = mk(A), mk(B)
+    a = (a0, (a0 >> 3).astype(np.uint32))
+    b = (b0, (b0 >> 3).astype(np.uint32))
+    out = PS.merge_sorted_lanes_tiled.__wrapped__(
+        a, b, kw=1, pad_fill=(0xABC,), interpret=True
+    )
+    total = A + B
+    assert out[0].shape[0] == 1536
+    want = np.sort(np.concatenate([a0, b0]))
+    np.testing.assert_array_equal(np.asarray(out[0])[:total], want)
+    np.testing.assert_array_equal(np.asarray(out[1])[:total], want >> 3)
+    assert (np.asarray(out[0])[total:] == 0xFFFFFFFF).all()
+    assert (np.asarray(out[1])[total:] == 0xABC).all()
