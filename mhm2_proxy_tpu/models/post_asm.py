@@ -174,8 +174,13 @@ def align_reads_to_contigs(
     return out
 
 
-def sam_record(name: str, out: dict, i: int, lens: np.ndarray) -> str:
-    """One SAM line (v1.6 mandatory fields + NM tag) for read i of a block."""
+def sam_record(name: str, out: dict, i: int, lens: np.ndarray,
+               cnames: list[str] | None = None) -> str:
+    """One SAM line (v1.6 mandatory fields + NM tag) for read i of a block.
+
+    cnames maps the aligner's dense contig index to the contig's REAL name
+    (Contig<id> from the FASTA header) — a --post-asm-only run reloads only
+    the >=min-print-len contigs, so index != id there."""
     n = int(lens[i])
     if out["cid"][i] < 0 or n == 0:
         return f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*"
@@ -184,8 +189,10 @@ def sam_record(name: str, out: dict, i: int, lens: np.ndarray) -> str:
     pos = int(out["win_lo"][i] + out["r_begin"][i]) + 1  # SAM is 1-based
     cig = out["cigar"][i] if out.get("cigar") else "*"
     nm = int(out["nm"][i]) if "nm" in out else 0
+    ci = int(out["cid"][i])
+    rname = cnames[ci] if cnames is not None else f"Contig{ci}"
     return (
-        f"{name}\t{flag}\tContig{int(out['cid'][i])}\t{pos}\t60\t{cig}"
+        f"{name}\t{flag}\t{rname}\t{pos}\t60\t{cig}"
         f"\t*\t0\t0\t{seq}\t*\tNM:i:{nm}\tAS:i:{int(out['score'][i])}"
     )
 
@@ -203,6 +210,10 @@ def post_asm_align(
     guide documents for binning (docs/mhm_guide.md:222-233).
     """
     contigs = [c.seq for c in asm.contigs]
+    # real contig names (FASTA header ids): a --post-asm-only run reloads
+    # only the dumped >=min-print-len contigs, so the dense aligner index
+    # does not equal the id — the SAM/depths must name what the FASTA names
+    cnames = [f"Contig{c.id}" for c in asm.contigs]
     if not contigs:
         return dict(aligned_frac=0.0, mean_identity=0.0)
     index = build_contig_index(contigs, k)
@@ -213,8 +224,8 @@ def post_asm_align(
     sam = open(sam_fname, "w") if sam_fname else None
     if sam:
         sam.write("@HD\tVN:1.6\tSO:unknown\n")
-        for cidx, c in enumerate(contigs):
-            sam.write(f"@SQ\tSN:Contig{cidx}\tLN:{len(c)}\n")
+        for cname, c in zip(cnames, contigs):
+            sam.write(f"@SQ\tSN:{cname}\tLN:{len(c)}\n")
         sam.write("@PG\tID:mhm2_proxy_tpu\tPN:mhm2_proxy_tpu\n")
     rid = 0
     for codes, quals, lens, ids in asm.packed_reads.blocks(
@@ -239,7 +250,7 @@ def post_asm_align(
                     f"r{abs(rid_i)}/{2 if rid_i > 0 else 1}"
                     if rid_i else f"read_{rid + int(i)}"
                 )
-                sam.write(sam_record(name, out, int(i), lens) + "\n")
+                sam.write(sam_record(name, out, int(i), lens, cnames) + "\n")
         rid += int(codes.shape[0])
         if sample_reads is not None and tot >= sample_reads:
             break
@@ -253,9 +264,9 @@ def post_asm_align(
     if abundance_fname:
         with open(abundance_fname, "w") as f:
             f.write("contigName\tcontigLen\ttotalAvgDepth\n")
-            for cidx, c in enumerate(contigs):
+            for cidx, (cname, c) in enumerate(zip(cnames, contigs)):
                 depth = aligned_bases[cidx] / max(len(c), 1)
-                f.write(f"Contig{cidx}\t{len(c)}\t{depth:.4f}\n")
+                f.write(f"{cname}\t{len(c)}\t{depth:.4f}\n")
         stats["abundance_file"] = abundance_fname
     asm.log.info(f"post-asm-align: {stats}")
     return stats
