@@ -295,4 +295,8 @@ def traverse_debruijn_graph(table, k: int, stats: dict | None = None):
     edges = build_edges(table.words, table.count, table.left, table.right, table.n, k)
     if stats is not None:
         stats["terminations"] = term_stats_to_dict(edges["term_stats"])
-    return stitch_paths(edges, table.words, table.count, k)
+    timings = {} if stats is not None else None
+    out = stitch_paths(edges, table.words, table.count, k, timings=timings)
+    if stats is not None:
+        stats["stitch_timings"] = timings
+    return out

@@ -399,6 +399,8 @@ class Assembler:
             f"fork={term.get('fork', 0)} conflict={term.get('conflict', 0)} "
             f"repeat={term.get('repeat', 0)}"
         )
+        if tstats.get("stitch_timings"):
+            self.log.info(f"k={k}: stitch {tstats['stitch_timings']}")
         if "stitch_rounds" in tstats:
             sr = tstats["stitch_rounds"]
             self.log.info(
