@@ -226,6 +226,25 @@ class KmerCountStore:
                 else 2 << 30
             )
         self.raw_budget_bytes = raw_budget_bytes
+        # cascade-merge row cap: the LSM's pairwise merge of two collapsed
+        # runs is the measured arctic-scale HBM peak (each bitonic stage
+        # holds ~2x the merged lanes transient, plus the dedup scan/split).
+        # Merges above this bound are DEFERRED — the runs sit as siblings
+        # until finalize's range-partitioned fold, whose peak is bounded by
+        # key ranges regardless of total rows. Sized from device HBM like
+        # the raw budget; the resident cost of deferral is the cross-run
+        # key duplication, small at genomic coverage skews.
+        W = words32_for_k(k)
+        try:
+            from ..utils.memlog import get_free_device_mem_bytes
+
+            dev_free = get_free_device_mem_bytes()
+        except Exception:
+            dev_free = 0
+        self.cascade_max_rows = (
+            max(2_000_000, dev_free // (4 * (W + 5) * 40)) if dev_free
+            else 12_000_000
+        )
         self.raw_runs: list[tuple] = []  # sorted packed lanes per block
         # plain: (words, count, l4, r4, n_unique)
         # split: (m_words, m_count, m_l4, m_r4, n_m, s_words, s_ext, n_s)
@@ -320,6 +339,8 @@ class KmerCountStore:
         while (
             len(self.runs) >= 2
             and self._split_rows(self.runs[-1]) >= self._split_rows(self.runs[-2]) // 2
+            and (self._split_rows(self.runs[-1]) + self._split_rows(self.runs[-2])
+                 <= self.cascade_max_rows)
         ):
             b = self.runs.pop()
             a = self.runs.pop()

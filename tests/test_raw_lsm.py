@@ -237,3 +237,22 @@ def test_merge_sorted_lanes_tiled_pad_fill(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out[1])[:total], want >> 3)
     assert (np.asarray(out[0])[total:] == 0xFFFFFFFF).all()
     assert (np.asarray(out[1])[total:] == 0xABC).all()
+
+
+def test_deferred_cascade_equals_plain(rng):
+    """cascade_max_rows cap: collapsed runs too big to pairwise-merge are
+    DEFERRED as sibling runs until the finalize fold (the arctic-scale HBM
+    peak was the mid-round cascade merge of two collapsed runs). Forcing
+    the cap to its floor must leave the final table bit-identical."""
+    k = 21
+    blocks = [reads_to_block(genome_reads(rng, 900, 60, k + 5, 120))
+              for _ in range(4)]
+    a = KmerCountStore(k, raw_lsm=True, raw_budget_bytes=1)
+    a.cascade_max_rows = 1  # defer EVERY cascade merge
+    b = KmerCountStore(k, raw_lsm=False)
+    for blk in blocks:
+        a.add_reads_block(*blk)
+        b.add_reads_block(*blk)
+    assert len(a.runs) >= 3, "cap did not defer the cascade"
+    da, db = _final_dict(a), _final_dict(b)
+    assert da == db
