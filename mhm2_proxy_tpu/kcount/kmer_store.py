@@ -446,7 +446,11 @@ class KmerCountStore:
     # pow2-padded merge tree + scan + compaction) exceeded the 14 GiB
     # usable HBM of a v5e at arctic scale (27 Mbp, k=33)
     RANGED_FOLD_MIN_ROWS = 24_000_000
-    RANGED_FOLD_TARGET_ROWS = 10_000_000
+    # per-range row target: the actual per-range working set is
+    # R * (pow2(max range width) + pow2(max single width)) — skewed cuts
+    # inflate every run's slice to the global max, so the target carries
+    # ~2-3x headroom below what naively fits
+    RANGED_FOLD_TARGET_ROWS = 6_000_000
 
     def _final_fold_ranged(self, purge: bool):
         """Range-partitioned final fold over the sorted split runs.
@@ -507,9 +511,15 @@ class KmerCountStore:
             piece = C.final_fold_runs(
                 tuple(range_runs), dmin_thres=self.dmin_thres, purge=purge
             )
-            # fence: serialize ranges so only one range's transients live
-            jax.device_get(piece[-1])
-            pieces.append(piece)
+            # fence: serialize ranges so only one range's transients live.
+            # The fetched occupancy also TRIMS the piece: final_fold_runs
+            # returns arrays at its full padded input length (R*(Sm+Ss)
+            # rows), and Q accumulated untrimmed pieces held ~Q x the data
+            # — the arctic k=21 finalize OOMed exactly here. Kept rows are
+            # a dense sorted prefix, so a half-octave slice loses nothing.
+            n_live = int(jax.device_get(piece[-1]))
+            P = min(C.trim_rows(n_live), piece[0].shape[0])
+            pieces.append(tuple(x[:P] for x in piece[:4]))
         del padded
         # pieces are in key order; concatenate + one stable compaction
         # (jitted: per-op dispatch over the tunnel costs an RTT each)
