@@ -38,17 +38,21 @@ def _pack_states_device(uu, r_idx, r_port, r_ok, l_idx, l_port, l_ok,
     transfer ~2.6x; head k-mers for path starts are gathered later at
     n_paths rows.
     """
-    n = uu.shape[0]
     succ_r = jnp.where(r_ok & uu, 2 * r_idx + (1 - r_port), -1)
     succ_l = jnp.where(l_ok & uu, 2 * l_idx + (1 - l_port), -1)
-    succ = jnp.stack([succ_l, succ_r], axis=1).reshape(2 * n).astype(jnp.int32)
-    succ = jnp.where(jnp.repeat(uu, 2), succ, jnp.int32(-2))
+    # PER-PORT planar arrays, interleaved on host: a device-side
+    # stack(axis=1)+reshape materializes an (N, 2) intermediate whose TPU
+    # tile layout T(8,128) pads the trailing dim 2 -> 128 — a measured 64x
+    # HBM expansion (16 GB at the arctic 33.5M-row table, a compile-time
+    # capacity failure). Host interleave is two strided copies.
+    succ_r = jnp.where(uu, succ_r, -2).astype(jnp.int32)
+    succ_l = jnp.where(uu, succ_l, -2).astype(jnp.int32)
     w_last = (k - 1) // 16
     sh_last = 2 * (15 - ((k - 1) % 16))
     first_b = (words[:, 0] >> jnp.uint32(30)).astype(jnp.uint8) & jnp.uint8(3)
     last_b = (words[:, w_last] >> jnp.uint32(sh_last)).astype(jnp.uint8) & jnp.uint8(3)
-    base = jnp.stack([jnp.uint8(3) - first_b, last_b], axis=1).reshape(2 * n)
-    return succ, base, jnp.clip(count, 0, 0xFFFF).astype(jnp.uint16)
+    return (succ_l, succ_r, jnp.uint8(3) - first_b, last_b,
+            jnp.clip(count, 0, 0xFFFF).astype(jnp.uint16))
 
 
 def _doubling(succ, rounds):
@@ -180,14 +184,19 @@ def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None)
     on_device = not isinstance(edges["uu"], np.ndarray)
     t0 = time.perf_counter()
     if on_device:
-        succ32, base, cnt = _pack_states_device(
+        packed = _pack_states_device(
             edges["uu"], edges["r_idx"], edges["r_port"], edges["r_ok"],
             edges["l_idx"], edges["l_port"], edges["l_ok"], words, count, k,
         )
-        succ32, base, cnt = jax.device_get((succ32, base, cnt))
+        sl, sr, bl, br, cnt = jax.device_get(packed)
+        succ_n = np.empty(2 * n, np.int64)
+        succ_n[0::2] = sl
+        succ_n[1::2] = sr
+        base = np.empty(2 * n, np.uint8)
+        base[0::2] = bl
+        base[1::2] = br
         if timings is not None:
             timings["pack_fetch_s"] = round(time.perf_counter() - t0, 2)
-        succ_n = succ32.astype(np.int64)
         state_valid = succ_n != -2
         if not state_valid.any():
             return []
