@@ -84,7 +84,7 @@ def _state_bases(words, k: int, S: int):
     return np.where(state_port == 1, last_b[state_node], 3 - first_b[state_node])
 
 
-def _render_contigs(starts, n_states, depth_sum, buf, offsets, words, k: int):
+def _render_contigs(starts, n_states, depth_sum, buf, src_off, words, k: int):
     """Shared contig text emission: oriented head k-mers + canonicalize.
 
     Fully vectorized (VERDICT r4 weak #3: the per-path Python loop —
@@ -94,7 +94,23 @@ def _render_contigs(starts, n_states, depth_sum, buf, offsets, words, k: int):
     decision comes from the first differing position per path
     (minimum.reduceat), and the bases decode in ONE tobytes; the remaining
     loop is a bytes-slice per contig. `words` may live on device — the head
-    k-mer gather then runs there at n_paths rows (not the full table)."""
+    k-mer gather then runs there at n_paths rows (not the full table).
+
+    src_off[p] = path p's offset in `buf` (need NOT be contiguous: callers
+    filter paths and pass the surviving ones' original walker offsets); the
+    bases are first gathered into a dense buffer of the kept paths only."""
+    n_paths = starts.shape[0]
+    if n_paths == 0:
+        return []
+    clen = (k - 1) + n_states
+    offsets = np.zeros(n_paths + 1, np.int64)
+    np.cumsum(clen, out=offsets[1:])
+    total = int(offsets[-1])
+    j = np.arange(total, dtype=np.int64)
+    pid = np.repeat(np.arange(n_paths, dtype=np.int32), clen)
+    local = j - offsets[pid]
+    cbuf = buf[src_off[pid] + local]
+
     s_nodes = starts >> 1
     s_fwd = (starts & 1) == 1
     kmers = bk.codes_from_words(words[s_nodes], k)  # (n_paths, k) device op
@@ -102,24 +118,21 @@ def _render_contigs(starts, n_states, depth_sum, buf, offsets, words, k: int):
     rc = (3 - kmers[:, ::-1]).astype(np.uint8)
     oriented = np.where(s_fwd[:, None], kmers, rc)
     kpos = offsets[:-1, None] + np.arange(k)[None, :]
-    buf[kpos.reshape(-1)] = oriented.reshape(-1)
+    cbuf[kpos.reshape(-1)] = oriented.reshape(-1)
+    del kpos, oriented, kmers, rc
 
-    n_paths = starts.shape[0]
-    clen = np.diff(offsets)
-    total = int(offsets[-1])
-    j = np.arange(total, dtype=np.int64)
-    pid = np.repeat(np.arange(n_paths, dtype=np.int64), clen)
-    local = j - offsets[pid]
     rc_src = offsets[pid] + (clen[pid] - 1 - local)
-    rc_buf = (3 - buf[rc_src]).astype(np.uint8)
-    diff = buf[:total] != rc_buf
+    rc_buf = (3 - cbuf[rc_src]).astype(np.uint8)
+    del rc_src, local
+    diff = cbuf != rc_buf
     big = total + 1
     first = np.minimum.reduceat(np.where(diff, j, big), offsets[:-1])
+    del diff, j
     has = first < big
     rc_less = np.zeros(n_paths, bool)
     idx = first[has]
-    rc_less[has] = rc_buf[idx] < buf[idx]
-    canon = np.where(rc_less[pid], rc_buf, buf[:total])
+    rc_less[has] = rc_buf[idx] < cbuf[idx]
+    canon = np.where(rc_less[pid], rc_buf, cbuf)
 
     lut = np.frombuffer(b"ACGT", np.uint8)
     all_bytes = lut[canon].tobytes()
@@ -132,11 +145,15 @@ def _render_contigs(starts, n_states, depth_sum, buf, offsets, words, k: int):
     ]
 
 
-def _stitch_native(succ_n, base, count, words, k: int, timings=None):
+def _stitch_native(succ_n, base, count, words, k: int, timings=None,
+                   min_states: int = 1):
     """Sequential C++ walker (native/stitch_native.cpp): O(S) hops instead
     of the doubling's O(S log S) random gathers — ~50x at arctic scale.
     succ_n: (S,) int64, -1 terminal / -2 invalid; base: (S,) u8 per-state
-    emitted base. Returns None when the native library is unavailable."""
+    emitted base. Paths shorter than min_states states are dropped BEFORE
+    rendering (the arctic k=21 graph emits tens of millions of 1-2 state
+    paths; materializing them as Python strings exhausted host RAM).
+    Returns None when the native library is unavailable."""
     try:
         from ..io.native import get_stitch_walk
 
@@ -160,17 +177,33 @@ def _stitch_native(succ_n, base, count, words, k: int, timings=None):
     if n_paths < 0:
         return None
     starts, nst, dep = starts[:n_paths], nst[:n_paths], dep[:n_paths]
-    offsets = np.zeros(n_paths + 1, np.int64)
-    np.cumsum((k - 1) + nst, out=offsets[1:])
+    # per-path original offsets in the walker's buf layout (all paths)
+    src_off = np.zeros(n_paths, np.int64)
+    np.cumsum(((k - 1) + nst)[:-1], out=src_off[1:])
+    if min_states > 1:
+        keep = nst >= min_states
+        if timings is not None:
+            timings["dropped_tiny_paths"] = int(n_paths - keep.sum())
+        starts, nst, dep, src_off = (
+            starts[keep], nst[keep], dep[keep], src_off[keep]
+        )
     t0 = time.perf_counter()
-    out = _render_contigs(starts, nst, dep, buf, offsets, words, k)
+    out = _render_contigs(starts, nst, dep, buf, src_off, words, k)
     if timings is not None:
         timings["render_s"] = round(time.perf_counter() - t0, 2)
     return out
 
 
-def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None):
+def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None,
+                 min_states: int = 1):
     """Path decomposition -> list of (canonical seq, depth).
+
+    min_states drops paths below that many states (contig length
+    k-1+min_states) before any host materialization — the production
+    assembler passes the k+2 usability bound (shorter contigs can never
+    seed a later round nor print); the default emits everything (the
+    reference emits single-kmer uutigs too, and oracle-equality tests
+    compare the full set).
 
     When the edge dict holds device arrays, state packing runs ON DEVICE
     and one narrow fetch (succ i32 + base u8 + count u16) feeds the host
@@ -220,7 +253,7 @@ def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None)
         base = _state_bases(np.asarray(words), k, 2 * n).astype(np.uint8)
         cnt = count
 
-    native = _stitch_native(succ_n, base, cnt, words, k, timings)
+    native = _stitch_native(succ_n, base, cnt, words, k, timings, min_states)
     if native is not None:
         return native
     succ = np.where(state_valid, succ_n, -1)
@@ -262,6 +295,11 @@ def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None)
     if starts.size == 0:
         return []
     plen = d2[starts] + 1  # states per path
+    if min_states > 1:
+        keep = plen >= min_states
+        starts, plen = starts[keep], plen[keep]
+        if starts.size == 0:
+            return []
 
     # map every state on an emitted path to (path rank, position)
     n_paths = starts.size
@@ -297,4 +335,4 @@ def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None)
     depth_sum = np.zeros(n_paths, np.int64)
     np.add.at(depth_sum, path_of_state[on_path], count[state_node[on_path]])
 
-    return _render_contigs(starts, plen, depth_sum, buf, offsets, words, k)
+    return _render_contigs(starts, plen, depth_sum, buf, offsets[:-1], words, k)

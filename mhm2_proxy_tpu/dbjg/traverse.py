@@ -284,11 +284,16 @@ def term_stats_to_dict(term_stats) -> dict:
     return dict(deadend=int(ts[0]), fork=int(ts[1]), conflict=int(ts[2]), repeat=int(ts[3]))
 
 
-def traverse_debruijn_graph(table, k: int, stats: dict | None = None):
+def traverse_debruijn_graph(table, k: int, stats: dict | None = None,
+                            min_ctg_len: int = 0):
     """Full traversal of a FinalTable -> list of (seq, depth).
 
     If `stats` is a dict, it is filled with walk-termination counts
-    (deadend/fork/conflict/repeat, reference dbjg_traversal.cpp:128-141)."""
+    (deadend/fork/conflict/repeat, reference dbjg_traversal.cpp:128-141).
+    min_ctg_len > 0 drops contigs shorter than it before host
+    materialization (the assembler passes k+2: shorter ones can never seed
+    a later round nor print — at arctic scale they number in the tens of
+    millions and exhausted host RAM as Python strings)."""
     from .stitch import stitch_paths
 
     table = fit_table_rows(table)
@@ -296,7 +301,8 @@ def traverse_debruijn_graph(table, k: int, stats: dict | None = None):
     if stats is not None:
         stats["terminations"] = term_stats_to_dict(edges["term_stats"])
     timings = {} if stats is not None else None
-    out = stitch_paths(edges, table.words, table.count, k, timings=timings)
+    out = stitch_paths(edges, table.words, table.count, k, timings=timings,
+                       min_states=max(1, min_ctg_len - (k - 1)))
     if stats is not None:
         stats["stitch_timings"] = timings
     return out

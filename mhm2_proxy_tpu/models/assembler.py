@@ -388,7 +388,10 @@ class Assembler:
 
             raw = traverse_debruijn_graph_sharded(table, k, stats=tstats)
         else:
-            raw = traverse_debruijn_graph(table, k, stats=tstats)
+            # k+2 usability bound: shorter contigs can never seed a later
+            # (larger-k) round nor reach any output (min print len 500)
+            raw = traverse_debruijn_graph(table, k, stats=tstats,
+                                          min_ctg_len=k + 2)
         self.contigs = [Contig(i, seq, depth) for i, (seq, depth) in enumerate(sorted(raw))]
         self.log.info(
             f"k={k}: traversal -> {len(self.contigs)} contigs in {time.time()-t1:.1f}s"

@@ -67,12 +67,18 @@ def test_full_oracle_equality_small(rng):
         asm.packed_reads.add_read(seq, q)
     got1 = asm.run_round(k1)
     exp1 = traverse_oracle(count_kmers_oracle(reads, k1), k1)
-    assert sorted((c.seq) for c in got1) == sorted(s for s, _ in exp1)
+    # the assembler drops contigs below the k+2 usability bound (they can
+    # never seed a later round nor print); mirror the filter on the oracle
+    assert sorted(c.seq for c in got1) == sorted(
+        s for s, _ in exp1 if len(s) >= k1 + 2
+    )
 
     oracle_ctgs = [(s, int(min(max(int(d), 0), 0xFFFF))) for s, d in exp1]
     got2 = asm.run_round(k2)
     exp2 = traverse_oracle(count_kmers_oracle(reads, k2, ctgs=oracle_ctgs), k2)
-    assert sorted(c.seq for c in got2) == sorted(s for s, _ in exp2)
+    assert sorted(c.seq for c in got2) == sorted(
+        s for s, _ in exp2 if len(s) >= k2 + 2
+    )
 
 
 def test_ctg_pass_bucketed_blocking_matches_monolithic(rng):
