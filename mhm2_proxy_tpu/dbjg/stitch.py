@@ -253,6 +253,28 @@ def stitch_paths(edges: dict, words, count, k: int, timings: dict | None = None,
         base = _state_bases(np.asarray(words), k, 2 * n).astype(np.uint8)
         cnt = count
 
+    # reciprocity repair (reference clean_frag_links, dbjg_traversal.cpp:
+    # 392-430: non-reciprocal links are DROPPED before stitching). The path
+    # decomposition requires every state's in-degree <= 1; a merge state
+    # (two predecessors) breaks the walker's disjoint-chain invariant (the
+    # native walk re-traverses the shared tail and overflows its buffer —
+    # observed at arctic k=21) and makes the doubling's path mapping
+    # ambiguous. Drop ALL in-edges of merge states, and each dropped edge's
+    # mirror (b^1 -> a^1) so the two directions of every chain stay exact
+    # mirrors (the emit-one-direction rule depends on it).
+    pos = succ_n >= 0
+    bc = np.bincount(succ_n[pos], minlength=2 * n)
+    viol = bc >= 2
+    if viol.any():
+        drop_src = np.nonzero(pos & viol[np.clip(succ_n, 0, None)])[0]
+        tgt = succ_n[drop_src]
+        succ_n[drop_src] = -1
+        mirror_src = tgt ^ 1
+        ok = succ_n[mirror_src] == (drop_src ^ 1)
+        succ_n[mirror_src[ok]] = -1
+        if timings is not None:
+            timings["nonreciprocal_dropped"] = int(drop_src.size + ok.sum())
+
     native = _stitch_native(succ_n, base, cnt, words, k, timings, min_states)
     if native is not None:
         return native

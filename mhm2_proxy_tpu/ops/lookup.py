@@ -36,6 +36,11 @@ def _lex_leq_rows(a, b):
 # True/False forces (CPU tests run it in Pallas interpret mode)
 _USE_MERGE_JOIN = None
 
+# fused (row | flag | payload)-in-one-u32 limit: row ids need 25 bits, the
+# query flag bit 25, payload the top bits. Tables at/above 2^25 rows fall
+# back to the separate-lane path (tests shrink this to drive that path)
+_FUSED_MAX_ROWS = 1 << 25
+
 
 def _compact_tile() -> int:
     from .pallas_compact import TILE
@@ -70,7 +75,8 @@ def _sort_join(table_words, n_valid, query_words, payload, max_dup: int,
     # fit (row < 2^25 covers 33M-row tables/query sets; payloads are <= 6
     # bits on the de Bruijn edge path): one lane fewer through the join sort
     # is a ~25% traffic cut on its dominant op
-    fused = payload is not None and payload_bits + 26 <= 32 and max(T, Q) < (1 << 25)
+    fused = (payload is not None and payload_bits + 26 <= 32
+             and max(T, Q) < _FUSED_MAX_ROWS)
     from . import kernels
 
     use_merge = _USE_MERGE_JOIN

@@ -135,3 +135,33 @@ def test_merge_join_virtual_tile_pad(rng):
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)], np.asarray(i1)[np.asarray(f1)])
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_join_above_fused_row_limit(rng, monkeypatch):
+    """Tables at/above the fused 25-bit row limit (the arctic k=21 table
+    trims to exactly 2^25 rows) take the separate-payload-lane sort join —
+    a path no small-size test reaches because `fused` is then always true.
+    Shrinking the limit drives it at test scale; answers must match the
+    bisection ground truth, including duplicates and misses."""
+    monkeypatch.setattr(lookup, "_FUSED_MAX_ROWS", 64)
+    T, Q = 512, 3000
+    words, n, keys = _mk_table(rng, T, n_valid=T - 30)
+    payload = jnp.asarray(rng.integers(0, 64, T, dtype=np.uint32))
+    # WITHOUT replacement: the join's documented precondition bounds
+    # rows-per-key at max_dup (8 query dups + 1 table row stays inside)
+    hit = keys[np.repeat(rng.choice(len(keys), Q // 8, replace=False), 8)[: Q - 100]]
+    miss = rng.integers(0, 1 << 42, 100, dtype=np.uint64)
+    qk = np.concatenate([hit, miss])
+    qw = jnp.asarray(np.stack(
+        [(qk >> 10).astype(np.uint32), ((qk & 0x3FF) << 22).astype(np.uint32)],
+        axis=-1,
+    ))
+    i1, f1, p1 = lookup.table_join_payload.__wrapped__(
+        words, n, qw, payload, max_dup=32, payload_bits=6)
+    i0, f0 = lookup.table_lookup(words, n, qw)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(i0)[np.asarray(f0)],
+                                  np.asarray(i1)[np.asarray(f1)])
+    pay = np.asarray(payload)[np.asarray(i0)]
+    np.testing.assert_array_equal(
+        np.where(np.asarray(f0), pay, 0), np.asarray(p1))

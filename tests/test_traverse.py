@@ -162,3 +162,38 @@ def test_stitch_native_equals_doubling(rng, monkeypatch):
                    for s, d in ST.stitch_paths(edges, t.words, t.count, k))
         monkeypatch.undo()
         assert a == b, kind
+
+
+def test_nonreciprocal_edge_repair(rng):
+    """A merge state (in-degree 2 — possible when edge reciprocity breaks)
+    must be REPAIRED by dropping its in-edges (reference clean_frag_links
+    drops non-reciprocal links, dbjg_traversal.cpp:392-430) instead of
+    corrupting the walk: the native walker re-traverses shared tails and
+    overflows; the doubling's path mapping turns ambiguous."""
+    import numpy as np
+    from mhm2_proxy_tpu.dbjg import stitch as ST
+    from mhm2_proxy_tpu.ops import bitkmer as bk
+
+    k = 5
+    n = 4
+    seqs = ["ACGTC", "GGATC", "TTACG", "CCCAG"]
+    words = np.stack([np.asarray(bk.strings_to_words([s], k))[0] for s in seqs])
+    count = np.full(n, 3, np.int32)
+    uu = np.ones(n, bool)
+    z = np.zeros(n, np.int64)
+    edges = dict(
+        uu=uu,
+        r_idx=z.copy(), r_port=z.copy(), r_ok=np.zeros(n, bool),
+        l_idx=z.copy(), l_port=z.copy(), l_ok=np.zeros(n, bool),
+    )
+    # nodes 0 and 1 both claim node 2 as right neighbor entering via L:
+    # both target state 2*2+1 = 5 -> in-degree 2 (non-reciprocal)
+    edges["r_ok"][[0, 1]] = True
+    edges["r_idx"][[0, 1]] = 2
+    edges["r_port"][[0, 1]] = 0
+    timings = {}
+    out = ST.stitch_paths(edges, words, count, k, timings=timings)
+    assert timings.get("nonreciprocal_dropped", 0) >= 2
+    # with the bogus edges dropped every node is isolated: 4 k-length contigs
+    assert len(out) == n
+    assert all(len(s) == k for s, _ in out)
