@@ -264,8 +264,12 @@ def _merge_anylen_core(a_lanes, b_lanes, kw: int, pad_fill, slice_out: bool,
     m = 1 << max(8, (total - 1).bit_length())
     P = m if m <= TILE else -(-total // TILE) * TILE
     pad = P - total
-    if pad == 0 and slice_out:
-        return merge_sorted_lanes.__wrapped__(a_lanes, b_lanes, kw, interpret)
+    # ALWAYS the down-up layout, even at pad == 0: up-down (a, rev(b)) plus
+    # the network's virtual +inf tail is up-down-up — NOT bitonic. A pad==0
+    # delegation to the up-down path at a non-pow2 tile count silently
+    # produced UNSORTED merges (hit at the arctic collapse's exact
+    # 36,700,160-row = 1120-tile shape; downstream dedup over the "sorted"
+    # run then left ~12M duplicate keys in the k=21 table).
     fills = [0xFFFFFFFF] * kw + list(
         pad_fill if pad_fill is not None else [0] * (len(a_lanes) - kw)
     )
@@ -304,12 +308,10 @@ def merge_sorted_lanes(a_lanes, b_lanes, kw: int, interpret: bool = False):
     """Merge two sorted runs given as tuples of (N,) uint32 lanes.
 
     Both runs must be lexicographically sorted on their first kw lanes
-    (lane 0 most significant) with power-of-two lengths whose sum is a power
-    of two times a power of two... (callers use equal or 2:1 pow2 sizes; any
-    pow2 total works). Returns merged (len(a)+len(b),) lanes. Not stable.
-    """
-    vals = tuple(jnp.concatenate([a, b[::-1]]) for a, b in zip(a_lanes, b_lanes))
-    return _bitonic_network(vals, kw, interpret)
+    (lane 0 most significant); any total length works (TILE-granular pads +
+    virtual sentinel tiles, see _merge_anylen_core). Returns merged
+    (len(a)+len(b),) lanes. Not stable."""
+    return _merge_anylen_core(a_lanes, b_lanes, kw, None, True, interpret)
 
 # Donated variant: inputs' buffers are consumed (the LSM merge tree's call
 # sites never reuse a merged-away run) — halves peak HBM at arctic-scale

@@ -256,3 +256,29 @@ def test_deferred_cascade_equals_plain(rng):
     assert len(a.runs) >= 3, "cap did not defer the cascade"
     da, db = _final_dict(a), _final_dict(b)
     assert da == db
+
+
+@pytest.mark.parametrize("tiles_a,tiles_b", [(560, 560), (3, 2), (96, 32)])
+def test_merge_exact_tile_multiple_nonpow2(rng, tiles_a, tiles_b, monkeypatch):
+    """pad == 0 at a NON-pow2 tile count: the merge layout must still be
+    down-up (reversed(b), a) — up-down plus the network's virtual +inf tail
+    is up-down-up, not bitonic, and silently produced UNSORTED merges at
+    the arctic collapse's exact 1120-tile shape (36,700,160 rows), leaving
+    ~12M duplicate keys in the k=21 table."""
+    import mhm2_proxy_tpu.ops.pallas_sort as PS
+
+    monkeypatch.setattr(PS, "TILE", 512)
+    A, B = tiles_a * 512 // 2 * 2, tiles_b * 512
+    A = tiles_a * 512 - tiles_b * 512 // 2
+    B = tiles_b * 512 // 2  # total = exact tile multiple, non-pow2 count
+    total = A + B
+    assert total % 512 == 0 and (total // 512) & (total // 512 - 1) != 0
+    mk = lambda n: np.sort(rng.integers(0, 1 << 32, n, dtype=np.int64).astype(np.uint32))
+    a0, b0 = mk(A), mk(B)
+    a = (a0, (a0 ^ 0xBEEF).astype(np.uint32))
+    b = (b0, (b0 ^ 0xBEEF).astype(np.uint32))
+    for fn in (PS.merge_sorted_lanes_padded, PS.merge_sorted_lanes):
+        out = fn.__wrapped__(a, b, kw=1, interpret=True)
+        want = np.sort(np.concatenate([a0, b0]))
+        np.testing.assert_array_equal(np.asarray(out[0]), want)
+        np.testing.assert_array_equal(np.asarray(out[1]), want ^ 0xBEEF)
