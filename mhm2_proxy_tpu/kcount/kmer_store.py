@@ -528,7 +528,12 @@ class KmerCountStore:
         return _combine_pieces_agg(tuple(p[:4] for p in pieces))
 
     def finalize(self) -> FinalTable:
-        c = self._merged_ctgs()
+        # the READ side folds FIRST: its resident sibling runs (deferred
+        # cascades — ~17 at arctic k>=33, several GB at W=3) are freed by
+        # the fold before the ctg merge cascade allocates its transients
+        # (merging ctgs first OOMed k=33 on a 16 GiB chip). has_ctg decides
+        # purge up front; _merged_ctgs() runs after the read fold.
+        has_ctg = bool(self.ctg_runs)
         if self.raw_runs:
             if self.runs or self._pending is not None:
                 # mixed (budget collapse happened): fold the raw remainder
@@ -546,7 +551,7 @@ class KmerCountStore:
                     )
                     final_fn = C.final_from_sorted_sep_donated
                 self.raw_runs = []
-                if c is None:
+                if not has_ctg:
                     out = final_fn(
                         merged, self.k, W, dmin_thres=self.dmin_thres, purge=True
                     )
@@ -554,7 +559,7 @@ class KmerCountStore:
                 agg = final_fn(
                     merged, self.k, W, dmin_thres=self.dmin_thres, purge=False
                 )
-                agg = _apply_ctg_rules(*agg, *c, self.dmin_thres)
+                agg = _apply_ctg_rules(*agg, *self._merged_ctgs(), self.dmin_thres)
                 words, cnt, left, right, n = C.finalize_table(
                     *agg, dmin_thres=self.dmin_thres
                 )
@@ -575,7 +580,7 @@ class KmerCountStore:
             if self.runs:
                 total_rows = sum(r[0].shape[0] + r[5].shape[0] for r in self.runs)
                 ranged = total_rows > self.RANGED_FOLD_MIN_ROWS
-                if c is None:
+                if not has_ctg:
                     if ranged:
                         out = self._final_fold_ranged(purge=True)
                     else:
@@ -591,14 +596,14 @@ class KmerCountStore:
                         tuple(self.runs), dmin_thres=self.dmin_thres, purge=False
                     )
                 self.runs = []
-                merged = _apply_ctg_rules(*merged, *c, self.dmin_thres)
+                merged = _apply_ctg_rules(*merged, *self._merged_ctgs(), self.dmin_thres)
                 words, cnt, left, right, n = C.finalize_table(
                     *merged, dmin_thres=self.dmin_thres
                 )
                 return FinalTable(self.k, words, cnt, left, right, n)
         r = self._merged_reads()
-        if c is not None:
-            merged = _apply_ctg_rules(*r, *c, self.dmin_thres)
+        if has_ctg:
+            merged = _apply_ctg_rules(*r, *self._merged_ctgs(), self.dmin_thres)
         else:
             merged = r
         words, cnt, left, right, n = C.finalize_table(*merged, dmin_thres=self.dmin_thres)
