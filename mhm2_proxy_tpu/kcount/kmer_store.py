@@ -398,16 +398,22 @@ class KmerCountStore:
     def add_ctgs_block(self, codes, lens, depths):
         """Add contig k-mers with per-contig depth (reference kcount.cpp:100-138).
 
-        Pushed runs are padded to pow2 rows (sentinel tails): the ctg-LSM
-        cascade otherwise concatenates arbitrary mixed sizes and every merge
-        compiles a NEW shape — ~one tunnel compile per block at arctic
-        scale; pow2 runs bound the whole cascade to a handful of shapes."""
+        Pushed runs are TRIMMED to occupancy then padded to pow2 rows
+        (sentinel tails): the aggregate's arrays keep the full block-cell
+        length, which at arctic scale (34k short contigs in fixed-shape
+        blocks) is ~10x the live rows — untrimmed runs totalled ~270M rows
+        across the ctg LSM and OOMed the k=33 finalize. The pow2 pad bounds
+        the cascade's compile shapes as before; the occupancy fetch is off
+        the hot path (one scalar per ctg block)."""
         qual_ok = jnp.ones_like(jnp.asarray(codes), bool)
         rec = C.read_kmer_records(
             jnp.asarray(codes), qual_ok, jnp.asarray(lens), self.k, self.m,
             depth=jnp.asarray(depths),
         )
         agg = _aggregate_ctg_records(rec["words"], rec["left"], rec["right"], rec["count"], rec["valid"])
+        n = int(jax.device_get(agg[4]))
+        P = min(C.trim_rows(n), agg[0].shape[0])
+        agg = tuple(x[:P] for x in agg[:4]) + (agg[4],)
         self._push_run(self.ctg_runs, _pad_ctg_pow2(agg), _merge_ctg_padded)
 
     # -- finalize ----------------------------------------------------------
