@@ -533,6 +533,52 @@ class KmerCountStore:
             return _combine_pieces_purged(tuple(p[:4] for p in pieces))
         return _combine_pieces_agg(tuple(p[:4] for p in pieces))
 
+    def _apply_ctg_rules_ranged(self, r, c):
+        """Range-partitioned ctg-rule application + finalize.
+
+        The monolithic _apply_ctg_rules sorts (reads + ctgs) rows over ~10
+        lanes — at arctic k=33 (40M + 30M rows) the program alone needs
+        >14 GiB and fails HBM compile. Both inputs are lexsorted, so the
+        same key-range partitioning as _final_fold_ranged applies: each
+        range's rules + purge/finalize run independently at ~1/Q the peak,
+        pieces are occupancy-trimmed at the per-range fence, and the final
+        table is one concatenation + stable compaction. Below the ranged
+        threshold the monolithic path is used unchanged."""
+        r_n, c_n = jax.device_get((r[4], c[4]))
+        rn, cn = int(r_n), int(c_n)
+        total = rn + cn
+        if total <= self.RANGED_FOLD_MIN_ROWS:
+            merged = _apply_ctg_rules(*r, *c, self.dmin_thres)
+            return C.finalize_table(*merged, dmin_thres=self.dmin_thres)
+        rw0 = np.asarray(jax.device_get(r[0][: max(rn, 1), 0]))[:rn]
+        cw0 = np.asarray(jax.device_get(c[0][: max(cn, 1), 0]))[:cn]
+        w0_all = np.concatenate([rw0, cw0]) if total else np.zeros(1, np.uint32)
+        Q = max(2, -(-total // self.RANGED_FOLD_TARGET_ROWS))
+        edges = np.quantile(w0_all, np.arange(1, Q) / Q).astype(np.uint64)
+        edges = np.minimum(edges, 0xFFFFFFFF).astype(np.uint32)
+        rcut = np.concatenate([[0], np.searchsorted(rw0, edges, "left"), [rn]]).astype(np.int64)
+        ccut = np.concatenate([[0], np.searchsorted(cw0, edges, "left"), [cn]]).astype(np.int64)
+        Sr = 1 << max(8, (max(int(np.max(np.diff(rcut))), 1) - 1).bit_length())
+        Sc = 1 << max(8, (max(int(np.max(np.diff(ccut))), 1) - 1).bit_length())
+        rp = (_pad_part(r[0], Sr, 0xFFFFFFFF), _pad_part(r[1], Sr, 0),
+              _pad_part(r[2], Sr, 0), _pad_part(r[3], Sr, 0))
+        cp = (_pad_part(c[0], Sc, 0xFFFFFFFF), _pad_part(c[1], Sc, 0),
+              _pad_part(c[2], Sc, 0), _pad_part(c[3], Sc, 0))
+        pieces = []
+        for q in range(Q):
+            wr = int(rcut[q + 1] - rcut[q])
+            wc = int(ccut[q + 1] - ccut[q])
+            r_sl = _slice_range(rp, int(rcut[q]), wr, Sr)
+            c_sl = _slice_range(cp, int(ccut[q]), wc, Sc)
+            piece = _ctg_rules_finalize_piece(
+                r_sl, jnp.int32(wr), c_sl, jnp.int32(wc), self.dmin_thres
+            )
+            # fence + occupancy trim (see _final_fold_ranged)
+            n_live = int(jax.device_get(piece[-1]))
+            P = min(C.trim_rows(n_live), piece[0].shape[0])
+            pieces.append(tuple(x[:P] for x in piece[:4]))
+        return _combine_pieces_purged(tuple(pieces))
+
     def finalize(self) -> FinalTable:
         # the READ side folds FIRST: its resident sibling runs (deferred
         # cascades — ~17 at arctic k>=33, several GB at W=3) are freed by
@@ -565,11 +611,8 @@ class KmerCountStore:
                 agg = final_fn(
                     merged, self.k, W, dmin_thres=self.dmin_thres, purge=False
                 )
-                agg = _apply_ctg_rules(*agg, *self._merged_ctgs(), self.dmin_thres)
-                words, cnt, left, right, n = C.finalize_table(
-                    *agg, dmin_thres=self.dmin_thres
-                )
-                return FinalTable(self.k, words, cnt, left, right, n)
+                return FinalTable(self.k, *self._apply_ctg_rules_ranged(
+                    agg, self._merged_ctgs()))
         if self.compact_singles:
             # fused path: ONE dispatch folds every outstanding split run into
             # the final table (see ops.count.final_fold_runs) — the unfused
@@ -602,17 +645,13 @@ class KmerCountStore:
                         tuple(self.runs), dmin_thres=self.dmin_thres, purge=False
                     )
                 self.runs = []
-                merged = _apply_ctg_rules(*merged, *self._merged_ctgs(), self.dmin_thres)
-                words, cnt, left, right, n = C.finalize_table(
-                    *merged, dmin_thres=self.dmin_thres
-                )
-                return FinalTable(self.k, words, cnt, left, right, n)
+                return FinalTable(self.k, *self._apply_ctg_rules_ranged(
+                    merged, self._merged_ctgs()))
         r = self._merged_reads()
         if has_ctg:
-            merged = _apply_ctg_rules(*r, *self._merged_ctgs(), self.dmin_thres)
-        else:
-            merged = r
-        words, cnt, left, right, n = C.finalize_table(*merged, dmin_thres=self.dmin_thres)
+            return FinalTable(self.k, *self._apply_ctg_rules_ranged(
+                r, self._merged_ctgs()))
+        words, cnt, left, right, n = C.finalize_table(*r, dmin_thres=self.dmin_thres)
         return FinalTable(self.k, words, cnt, left, right, n)
 
 
@@ -737,6 +776,14 @@ def _merge_ctg_aggregates(a_w, a_pmin, a_pmax, a_dmin, b_w, b_pmin, b_pmax, b_dm
     dmin = jnp.where(same, jnp.minimum(dmin, sh(dmin)), dmin)
     keep = is_last & ~jnp.all(w == jnp.uint32(0xFFFFFFFF), axis=-1)
     return _ctg_flag_compact(w, keep, _pack_ctg(pmin, pmax, dmin))
+
+
+@partial(jax.jit, static_argnames=("dmin_thres",))
+def _ctg_rules_finalize_piece(r_sl, r_n, c_sl, c_n, dmin_thres: int):
+    """One key range's ctg-rule application + purge/finalize, fused in a
+    single dispatch (see KmerCountStore._apply_ctg_rules_ranged)."""
+    merged = _apply_ctg_rules(*r_sl, r_n, *c_sl, c_n, dmin_thres)
+    return C.finalize_table(*merged, dmin_thres=dmin_thres)
 
 
 @partial(jax.jit, static_argnames=("dmin_thres",))
